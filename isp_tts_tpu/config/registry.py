@@ -10,7 +10,9 @@ unknown keys, errors on MISSING); ``Registry`` dispatches ``_name_`` /
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
+import typing
 from typing import Any, Type, TypeVar
 
 logger = logging.getLogger("isp_tts_tpu")
@@ -48,10 +50,20 @@ def filter_to_fields(config_cls: Type[T], cfg: dict, warn_extra: bool = True) ->
     return known
 
 
-def _coerce(field: dataclasses.Field, value: Any) -> Any:
+@functools.lru_cache(maxsize=None)
+def _resolved_hints(config_cls: type) -> dict:
+    """Field type hints with string annotations (PEP 563) resolved."""
+    try:
+        return typing.get_type_hints(config_cls)
+    except Exception:  # unresolvable forward refs: fall back to raw types
+        return {f.name: f.type for f in dataclasses.fields(config_cls)}
+
+
+def _coerce(config_cls: type, name: str, value: Any) -> Any:
     """Recursively build nested config dataclasses from dicts."""
-    if dataclasses.is_dataclass(field.type) and isinstance(value, dict):
-        return build_config(field.type, value)
+    ftype = _resolved_hints(config_cls).get(name)
+    if ftype is not None and dataclasses.is_dataclass(ftype) and isinstance(value, dict):
+        return build_config(ftype, value)
     return value
 
 
@@ -64,17 +76,17 @@ def build_config(config_cls: Type[T], cfg: dict | None = None, **kwargs) -> T:
     cfg = dict(cfg or {})
     cfg.update(kwargs)
     known = filter_to_fields(config_cls, cfg)
-    fields = {f.name: f for f in dataclasses.fields(config_cls)}
     for name, value in list(known.items()):
-        known[name] = _coerce(fields[name], value)
+        known[name] = _coerce(config_cls, name, value)
     obj = config_cls(**known)
     for f in dataclasses.fields(config_cls):
         v = getattr(obj, f.name)
         if isinstance(v, _Missing):
             raise ValueError(f"{config_cls.__name__}.{f.name} is required (MISSING)")
         # nested dataclass fields may arrive as dicts via defaults
-        if dataclasses.is_dataclass(f.type) and isinstance(v, dict):
-            setattr(obj, f.name, build_config(f.type, v))
+        coerced = _coerce(config_cls, f.name, v)
+        if coerced is not v:
+            setattr(obj, f.name, coerced)
     return obj
 
 

@@ -1,0 +1,133 @@
+"""Multi-head attention module with MQA and learned-ALiBi relative bias.
+
+Parity: reference `tts/modules/transformer/attention.py:17-176`:
+- separate q / fused kv projections, bias-free
+- ``one_kv_head`` multi-query attention (k/v stay single-head)
+- cross-attention via ``context``
+- mask assembly: key-side input mask ∪ explicit attention mask
+- LearnedALiBi bias computed once per stack and shared across layers
+- output projection + query-side output masking
+
+TPU-first: core attention is the einsum op in ``ops.attention`` (XLA fuses
+bias + mask + softmax); no KV-cache concat (the model is non-autoregressive).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+from flax import nnx
+
+from ..ops.attention import scaled_dot_product_attention
+from .embeddings import LearnedALiBiBias
+
+
+@dataclass
+class AttentionConfig:
+    dim: int = 256
+    heads: int = 4
+    head_dim: int | None = 64
+    causal: bool = False
+    dropout: float = 0.0
+    one_kv_head: bool = False
+    context_dim: int | None = None
+    alibi_pos_bias: bool = False
+    alibi_heads: int | None = None
+    alibi_symmetric: bool = True
+
+
+class Attention(nnx.Module):
+    Config = AttentionConfig
+
+    def __init__(self, config: AttentionConfig, *, rngs: nnx.Rngs):
+        cfg = config
+        self.config = cfg
+        self.heads = cfg.heads
+        self.head_dim = cfg.head_dim or cfg.dim // cfg.heads
+        self.causal = cfg.causal
+        self.one_kv_head = cfg.one_kv_head
+        self.scale = self.head_dim ** -0.5
+
+        q_dim = self.head_dim * self.heads
+        kv_dim = self.head_dim if cfg.one_kv_head else q_dim
+        context_dim = cfg.context_dim or cfg.dim
+
+        self.to_q = nnx.Linear(cfg.dim, q_dim, use_bias=False, rngs=rngs)
+        self.to_kv = nnx.Linear(context_dim, 2 * kv_dim, use_bias=False, rngs=rngs)
+        self.to_out = nnx.Linear(q_dim, cfg.dim, use_bias=False, rngs=rngs)
+        self.dropout = nnx.Dropout(cfg.dropout, rngs=rngs)
+
+        alibi_heads = cfg.alibi_heads if cfg.alibi_heads is not None else cfg.heads
+        if alibi_heads > cfg.heads:
+            raise ValueError("alibi_heads must be <= heads")
+        self.rel_pos = (
+            LearnedALiBiBias(
+                heads=alibi_heads, total_heads=cfg.heads,
+                symmetric=cfg.alibi_symmetric, rngs=rngs,
+            )
+            if cfg.alibi_pos_bias
+            else None
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: jnp.ndarray | None = None,
+        context: jnp.ndarray | None = None,
+        context_mask: jnp.ndarray | None = None,
+        attention_mask: jnp.ndarray | None = None,
+        shared_bias: jnp.ndarray | None = None,
+    ):
+        """Args:
+          x: (B, N, dim).
+          mask: (B, N) bool padding mask of ``x`` (True = valid).
+          context: (B, M, context_dim) for cross-attention.
+          context_mask: (B, M) bool padding mask of ``context``.
+          attention_mask: bool, (N, M) / (H, N, M) / (B, H, N, M).
+          shared_bias: precomputed ALiBi bias shared across layers.
+
+        Returns:
+          (out (B, N, dim), shared_bias) — shared_bias for cross-layer reuse.
+        """
+        b, n, _ = x.shape
+        kv_input = context if context is not None else x
+        m = kv_input.shape[1]
+
+        q = self.to_q(x).reshape(b, n, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        kv = self.to_kv(kv_input)
+        k, v = jnp.split(kv, 2, axis=-1)
+        if self.one_kv_head:
+            k = k[:, None]  # (B, 1, M, D)
+            v = v[:, None]
+        else:
+            k = k.reshape(b, m, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(b, m, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+
+        # key-side padding mask ∪ explicit attention mask
+        key_mask = context_mask if context is not None else mask
+        attn_mask = None
+        if key_mask is not None:
+            attn_mask = key_mask[:, None, None, :]  # (B, 1, 1, M)
+        if attention_mask is not None:
+            if attention_mask.ndim == 2:
+                attention_mask = attention_mask[None, None]
+            elif attention_mask.ndim == 3:
+                attention_mask = attention_mask[None]
+            attn_mask = attention_mask if attn_mask is None else attn_mask & attention_mask
+
+        bias = None
+        if self.rel_pos is not None:
+            bias = shared_bias if shared_bias is not None else self.rel_pos(n, m, offset=m - n)
+            shared_bias = bias
+
+        out = scaled_dot_product_attention(
+            q, k, v, scale=self.scale, bias=bias, mask=attn_mask, causal=self.causal
+        )
+        out = self.dropout(out)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.heads * self.head_dim)
+        out = self.to_out(out)
+
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out, shared_bias

@@ -1,0 +1,95 @@
+"""Normalization layers.
+
+Parity with reference `tts/modules/transformer/normalization.py` (LayerNorm
+with uniform condition interface, AdaptiveLayerNorm for flow-time AdaLN
+conditioning) and `tts/modules/normalization.py` (masked instance norm used in
+the aligner convolutions, where padded positions must not pollute statistics).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import nnx
+
+
+class LayerNorm(nnx.Module):
+    """LayerNorm accepting (and ignoring) a ``condition`` argument so that
+    adaptive and plain norms are interchangeable inside transformer layers."""
+
+    def __init__(self, dim: int, bias: bool = True, eps: float = 1e-5, *, rngs: nnx.Rngs):
+        self.norm = nnx.LayerNorm(dim, epsilon=eps, use_bias=bias, rngs=rngs)
+
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray | None = None) -> jnp.ndarray:
+        return self.norm(x)
+
+
+class AdaptiveLayerNorm(nnx.Module):
+    """AdaLN: scale/shift are linear projections of a condition vector.
+
+    Zero-init projection kernels with ones/zeros output bias -> behaves as
+    identity-scale LayerNorm at init (reference normalization.py:37-61). This
+    is the flow-matching time-conditioning mechanism.
+    """
+
+    def __init__(self, dim: int, condition_dim: int, bias: bool = True,
+                 eps: float = 1e-5, *, rngs: nnx.Rngs):
+        self.eps = eps
+        self.weight = nnx.Linear(
+            condition_dim, dim, kernel_init=nnx.initializers.zeros_init(),
+            bias_init=nnx.initializers.ones_init(), rngs=rngs,
+        )
+        self.bias = (
+            nnx.Linear(
+                condition_dim, dim, kernel_init=nnx.initializers.zeros_init(),
+                bias_init=nnx.initializers.zeros_init(), rngs=rngs,
+            )
+            if bias
+            else None
+        )
+
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray | None = None) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        normed = (x - mean) / jnp.sqrt(var + self.eps)
+        if condition is None:
+            return normed
+        if condition.ndim == x.ndim - 1:
+            condition = condition[:, None, :]  # broadcast over sequence
+        weight = self.weight(condition)
+        bias = self.bias(condition) if self.bias is not None else 0.0
+        return weight * normed + bias
+
+
+class MaskedInstanceNorm1d(nnx.Module):
+    """Instance norm over the time axis using only unmasked positions.
+
+    Input (B, T, C); mask (B, T) True=valid. Statistics are computed per
+    (batch, channel) over valid timesteps only (reference
+    tts/modules/normalization.py:129-208). Affine-free by default, matching
+    torch InstanceNorm1d(affine=False).
+    """
+
+    def __init__(self, num_features: int, eps: float = 1e-5, affine: bool = False,
+                 *, rngs: nnx.Rngs | None = None):
+        self.eps = eps
+        self.affine = affine
+        if affine:
+            self.scale = nnx.Param(jnp.ones((num_features,)))
+            self.shift = nnx.Param(jnp.zeros((num_features,)))
+
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        if mask is None:
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            var = jnp.var(x, axis=1, keepdims=True)
+        else:
+            m = mask[:, :, None].astype(x.dtype)
+            count = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            mean = jnp.sum(x * m, axis=1, keepdims=True) / count
+            # biased variance over valid positions (torch instance-norm style)
+            var = jnp.sum((x - mean) ** 2 * m, axis=1, keepdims=True) / count
+        out = (x - mean) / jnp.sqrt(var + self.eps)
+        if self.affine:
+            out = out * self.scale.value + self.shift.value
+        if mask is not None:
+            out = out * mask[:, :, None].astype(x.dtype)
+        return out

@@ -1,0 +1,159 @@
+"""Transformer layer / stack with optional adaptive (AdaLN) conditioning.
+
+Parity: reference `tts/modules/transformer/transformer.py:27-211`:
+- pre-/post-norm residual blocks (attention + feed-forward), masks applied
+  around the FF block
+- one shared layer config replicated ``depth`` times
+- absolute sinusoidal positions only when no relative (ALiBi) bias is present
+- optional input projection when ``emb_dim != dim``
+- final LayerNorm when pre-norm
+- ALiBi bias computed once and shared across all layers
+- ``adaptive_norm`` + ``condition_dim`` plumbed to every layer (AdaLN)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from flax import nnx
+
+from ..config.registry import build_config
+from .attention import Attention, AttentionConfig
+from .embeddings import fixed_positional_embedding
+from .feedforward import FeedForward, FeedForwardConfig
+from .norms import AdaptiveLayerNorm, LayerNorm
+
+
+@dataclass
+class TransformerLayerConfig:
+    dim: int = 384
+    attention: AttentionConfig = field(default_factory=AttentionConfig)
+    feed_forward: FeedForwardConfig = field(default_factory=FeedForwardConfig)
+    pre_norm: bool = True
+    adaptive_norm: bool = False
+    condition_dim: int | None = None
+
+
+class TransformerLayer(nnx.Module):
+    Config = TransformerLayerConfig
+
+    def __init__(self, config: TransformerLayerConfig, *, rngs: nnx.Rngs):
+        cfg = config
+        self.config = cfg
+        self.pre_norm = cfg.pre_norm
+        self.adaptive_norm = cfg.adaptive_norm
+        if cfg.adaptive_norm and cfg.condition_dim is None:
+            raise ValueError("adaptive_norm requires condition_dim")
+
+        def make_norm():
+            if cfg.adaptive_norm:
+                return AdaptiveLayerNorm(cfg.dim, cfg.condition_dim, rngs=rngs)
+            return LayerNorm(cfg.dim, rngs=rngs)
+
+        attn_cfg = build_config(AttentionConfig, _as_dict(cfg.attention), dim=cfg.dim)
+        ff_cfg = build_config(FeedForwardConfig, _as_dict(cfg.feed_forward), dim=cfg.dim)
+        self.attention_norm = make_norm()
+        self.attention = Attention(attn_cfg, rngs=rngs)
+        self.feed_forward_norm = make_norm()
+        self.feed_forward = FeedForward(ff_cfg, rngs=rngs)
+
+    def __call__(self, x, mask=None, context=None, context_mask=None,
+                 attention_mask=None, adaptive_condition=None, shared_bias=None):
+        if self.adaptive_norm and adaptive_condition is None:
+            raise ValueError("adaptive_condition must be provided for AdaptiveLayerNorm")
+
+        residual = x
+        out = self.attention_norm(x, adaptive_condition) if self.pre_norm else x
+        out, shared_bias = self.attention(
+            out, mask=mask, context=context, context_mask=context_mask,
+            attention_mask=attention_mask, shared_bias=shared_bias,
+        )
+        out = out + residual
+        if not self.pre_norm:
+            out = self.attention_norm(out, adaptive_condition)
+
+        residual = out
+        if self.pre_norm:
+            out = self.feed_forward_norm(out, adaptive_condition)
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        out = self.feed_forward(out)
+        out = out + residual
+        if not self.pre_norm:
+            out = self.feed_forward_norm(out, adaptive_condition)
+        if mask is not None:
+            out = out * mask[..., None].astype(out.dtype)
+        return out, shared_bias
+
+
+class TransformerOutput(NamedTuple):
+    out: jnp.ndarray
+
+
+@dataclass
+class TransformerConfig:
+    dim: int = 384
+    depth: int = 6
+    transformer_layer: TransformerLayerConfig = field(default_factory=TransformerLayerConfig)
+    emb_dim: int | None = None
+    use_abs_pos_emb: bool = True
+    adaptive_norm: bool = False
+    condition_dim: int | None = None
+
+
+class Transformer(nnx.Module):
+    Config = TransformerConfig
+
+    def __init__(self, config: TransformerConfig, *, rngs: nnx.Rngs):
+        cfg = config
+        self.config = cfg
+        self.dim = cfg.dim
+        self.emb_dim = cfg.emb_dim or cfg.dim
+
+        layer_cfg = build_config(
+            TransformerLayerConfig, _as_dict(cfg.transformer_layer),
+            dim=cfg.dim, adaptive_norm=cfg.adaptive_norm, condition_dim=cfg.condition_dim,
+        )
+        self.layers = nnx.List(
+            [TransformerLayer(layer_cfg, rngs=rngs) for _ in range(cfg.depth)]
+        )
+
+        pre_norm = layer_cfg.pre_norm
+        has_rel_pos = self.layers[0].attention.rel_pos is not None
+        self.use_abs_pos_emb = cfg.use_abs_pos_emb and not has_rel_pos
+        self.project_emb = (
+            nnx.Linear(self.emb_dim, cfg.dim, rngs=rngs) if self.emb_dim != cfg.dim else None
+        )
+        self.norm = nnx.LayerNorm(cfg.dim, rngs=rngs) if pre_norm else None
+
+    def __call__(self, x, mask=None, context=None, context_mask=None,
+                 attention_mask=None, adaptive_condition=None) -> TransformerOutput:
+        if self.use_abs_pos_emb:
+            x = x + fixed_positional_embedding(x.shape[1], self.emb_dim, dtype=x.dtype)
+        if self.project_emb is not None:
+            x = self.project_emb(x)
+
+        shared_bias = None
+        for layer in self.layers:
+            x, shared_bias = layer(
+                x, mask=mask, context=context, context_mask=context_mask,
+                attention_mask=attention_mask, adaptive_condition=adaptive_condition,
+                shared_bias=shared_bias,
+            )
+        if self.norm is not None:
+            x = self.norm(x)
+        if mask is not None:
+            x = x * mask[..., None].astype(x.dtype)
+        return TransformerOutput(out=x)
+
+
+def _as_dict(cfg) -> dict:
+    if isinstance(cfg, dict):
+        return cfg
+    import dataclasses
+
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    raise TypeError(f"Cannot convert {type(cfg)} to config dict")
