@@ -59,10 +59,20 @@ def _resolved_hints(config_cls: type) -> dict:
         return {f.name: f.type for f in dataclasses.fields(config_cls)}
 
 
+def _unwrap_dataclass_type(ftype: Any) -> type | None:
+    """Extract the dataclass member from a (possibly Optional/Union) hint."""
+    if dataclasses.is_dataclass(ftype):
+        return ftype
+    for arg in typing.get_args(ftype):
+        if dataclasses.is_dataclass(arg):
+            return arg
+    return None
+
+
 def _coerce(config_cls: type, name: str, value: Any) -> Any:
     """Recursively build nested config dataclasses from dicts."""
-    ftype = _resolved_hints(config_cls).get(name)
-    if ftype is not None and dataclasses.is_dataclass(ftype) and isinstance(value, dict):
+    ftype = _unwrap_dataclass_type(_resolved_hints(config_cls).get(name))
+    if ftype is not None and isinstance(value, dict):
         return build_config(ftype, value)
     return value
 
@@ -81,7 +91,7 @@ def build_config(config_cls: Type[T], cfg: dict | None = None, **kwargs) -> T:
     obj = config_cls(**known)
     for f in dataclasses.fields(config_cls):
         v = getattr(obj, f.name)
-        if isinstance(v, _Missing):
+        if isinstance(v, _Missing) or (isinstance(v, str) and v == "???"):
             raise ValueError(f"{config_cls.__name__}.{f.name} is required (MISSING)")
         # nested dataclass fields may arrive as dicts via defaults
         coerced = _coerce(config_cls, f.name, v)

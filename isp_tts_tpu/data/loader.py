@@ -1,0 +1,50 @@
+"""Minimal data loader: shuffling, batching, drop-last, process sharding.
+
+Replaces the reference's torch DataLoader + HF Accelerate per-rank sharding
+(`tts/experiments/trainer.py:211-239`): in the JAX runtime each host process
+loads ``1/num_processes`` of every batch (sharded by ``process_index``), and
+the trainer forms globally-sharded device arrays from host-local batches.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Iterator, Sequence
+
+
+class DataLoader:
+    def __init__(self, dataset: Sequence, collate_fn: Callable, batch_size: int,
+                 shuffle: bool = False, drop_last: bool = True, seed: int = 0,
+                 num_shards: int = 1, shard_index: int = 0):
+        if batch_size % num_shards != 0:
+            raise ValueError("batch_size must divide evenly across processes")
+        self.dataset = dataset
+        self.collate_fn = collate_fn
+        self.batch_size = batch_size
+        self.local_batch_size = batch_size // num_shards
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return max(n, 0)
+
+    def __iter__(self) -> Iterator[dict]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self.epoch).shuffle(order)
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start:start + self.batch_size]
+            if len(idxs) < self.batch_size and self.drop_last:
+                break
+            local = idxs[self.shard_index::self.num_shards]
+            yield self.collate_fn([self.dataset[i] for i in local])

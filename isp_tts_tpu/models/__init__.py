@@ -1,0 +1,27 @@
+"""Model registries (parity: reference `tts/models/__init__.py:4-5`)."""
+
+from ..config.registry import Registry
+
+MODELS = Registry("models")
+EVALUATORS = Registry("evaluators")
+CRITERIA = Registry("criteria")
+
+from .base import Model  # noqa: E402
+from .acoustic.model import AcousticModel, AcousticModelOutput  # noqa: E402
+from .acoustic.loss import AcousticModelLoss  # noqa: E402
+from .acoustic.evaluator import AcousticModelEvaluator  # noqa: E402
+
+MODELS.add("AcousticModel", AcousticModel)
+CRITERIA.add("AcousticModelLoss", AcousticModelLoss)
+EVALUATORS.add("AcousticModelEvaluator", AcousticModelEvaluator)
+
+__all__ = [
+    "MODELS",
+    "EVALUATORS",
+    "CRITERIA",
+    "Model",
+    "AcousticModel",
+    "AcousticModelOutput",
+    "AcousticModelLoss",
+    "AcousticModelEvaluator",
+]

@@ -129,10 +129,13 @@ class TransformerTemporalModule(nnx.Module):
     def __init__(self, config: TemporalModuleConfig, *, rngs: nnx.Rngs):
         cfg = config
         self.config = cfg
+        from ...nn.policy import get_compute_dtype
+
         t_cfg = build_config(TransformerConfig, _as_dict(cfg.transformer),
                              emb_dim=cfg.input_dim)
         self.transformer = Transformer(t_cfg, rngs=rngs)
-        self.linear = nnx.Linear(t_cfg.dim, cfg.output_dim, rngs=rngs)
+        self.linear = nnx.Linear(t_cfg.dim, cfg.output_dim,
+                                 dtype=get_compute_dtype(), rngs=rngs)
         self.detach_inputs = cfg.detach_inputs
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
@@ -172,8 +175,11 @@ class FlowTransformerTemporalModule(nnx.Module):
             emb_dim=cfg.output_dim + cfg.input_dim,
             adaptive_norm=True, condition_dim=time_dim,
         )
+        from ...nn.policy import get_compute_dtype
+
         self.transformer = Transformer(t_cfg, rngs=rngs)
-        self.linear = nnx.Linear(t_cfg.dim, cfg.output_dim, rngs=rngs)
+        self.linear = nnx.Linear(t_cfg.dim, cfg.output_dim,
+                                 dtype=get_compute_dtype(), rngs=rngs)
         self.output_dim = cfg.output_dim
         self.sigma = cfg.sigma
         self.detach_inputs = cfg.detach_inputs

@@ -54,9 +54,12 @@ class ConvBlock1D(nnx.Module):
                  bias: bool = True, activation: str = "relu",
                  normalization: str | None = "instance", dropout: float = 0.0,
                  *, rngs: nnx.Rngs):
+        from ...nn.policy import get_compute_dtype
+
         self.conv = nnx.Conv(
             in_channels, out_channels, kernel_size=(kernel_size,),
-            padding="SAME", use_bias=bias and normalization is None, rngs=rngs,
+            padding="SAME", use_bias=bias and normalization is None,
+            dtype=get_compute_dtype(), rngs=rngs,
         )
         self.act = choose_activation(activation)
         self.norm = (
@@ -85,6 +88,7 @@ class AlignerConfig:
     normalization: str | None = "instance"
     activation: str = "relu"
     attention_prior: bool = True
+    mas_impl: str = "auto"  # auto | scan | pallas
 
 
 class AlignerOutput(NamedTuple):
@@ -161,12 +165,26 @@ class Aligner(nnx.Module):
         attn_soft = attn_soft * key_mask[:, None, :] * query_mask[:, :, None]
         return attn_soft, attn_logits
 
+    def _mas(self, attn_logits, text_len, mel_len):
+        """Dispatch MAS: the Pallas TPU kernel on TPU backends, the
+        vectorized lax.scan DP elsewhere (reference alignment.py:291-331
+        dispatched numba-CUDA vs numba-CPU with host round-trips; both paths
+        here stay on-device)."""
+        impl = self.config.mas_impl
+        if impl == "auto":
+            impl = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+        if impl == "pallas":
+            from ...ops.mas_pallas import monotonic_alignment_search_pallas
+
+            return monotonic_alignment_search_pallas(attn_logits, text_len, mel_len)
+        return monotonic_alignment_search(attn_logits, text_len, mel_len)
+
     def __call__(self, mel: jnp.ndarray, enc_text: jnp.ndarray,
                  mel_len: jnp.ndarray, text_len: jnp.ndarray) -> AlignerOutput:
         attn_soft, attn_logits = self.attention(mel, enc_text, mel_len, text_len)
 
         attn_hard = jax.lax.stop_gradient(
-            monotonic_alignment_search(attn_logits, text_len, mel_len)
+            self._mas(attn_logits, text_len, mel_len)
         )
         attn_hard_duration = jnp.sum(attn_hard, axis=1)  # (B, T)
         # self-healing: assign any deficit to the first token (reference

@@ -1,0 +1,100 @@
+"""Torch `.pt` checkpoint interop: map reference parameter names/layouts onto
+the JAX model tree.
+
+Enables loading the reference's pretrained ``acoustic_en_ipa.pt`` /
+``acoustic_ru_en.pt`` checkpoints (reference base.py:38-56 format) for
+numerical-parity testing and serving.
+
+Layout rules:
+- torch ``Linear.weight`` (out, in)  -> flax ``kernel`` (in, out): transpose
+- torch ``Conv1d.weight`` (out, in, k) -> flax ``Conv.kernel`` (k, in, out)
+- torch ``LayerNorm.weight``          -> flax ``scale``
+- fused ``to_kv`` stays fused (same split convention: [k | v] on the output)
+- ``Embedding.weight``               -> ``embedding``
+- name remappings (reference -> ours):
+  ``aligner.attention.X`` -> ``aligner.X`` (ConvAttention folded into Aligner)
+  ``feed_forward.net.0/3`` -> ``feed_forward.fc1/fc2``
+  ``rel_pos.learned_logslopes`` -> ``rel_pos.log_slopes``
+  ``linear_layer`` -> ``linear``; ``time_embedding.mlp.0/2`` -> fc1/fc2
+  ``attention_norm.weight.*``/``.bias.*`` (AdaLN Linears) keep their names
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# substring rewrites applied in order
+_NAME_RULES: list[tuple[str, str]] = [
+    (r"^aligner\.attention\.", "aligner."),
+    (r"\.feed_forward\.net\.0\.", ".feed_forward.fc1."),
+    (r"\.feed_forward\.net\.3\.", ".feed_forward.fc2."),
+    (r"\.rel_pos\.learned_logslopes$", ".rel_pos.log_slopes"),
+    (r"\.linear_layer\.", ".linear."),
+    (r"\.time_embedding\.mlp\.0\.", ".time_embedding.fc1."),
+    (r"\.time_embedding\.mlp\.2\.", ".time_embedding.fc2."),
+]
+
+
+def _rename(name: str) -> str | None:
+    for pattern, repl in _NAME_RULES:
+        name = re.sub(pattern, repl, name)
+    # buffers that don't travel as params
+    if name.endswith(".freq_emb.freq_scale") or ".attend." in name:
+        return None
+    return name
+
+
+def _is_adaln_linear(name: str) -> bool:
+    # AdaptiveLayerNorm holds Linear submodules literally named weight/bias:
+    # "...attention_norm.weight.weight" is a Linear kernel.
+    return bool(re.search(r"_norm\.(weight|bias)\.(weight|bias)$", name))
+
+
+def convert_torch_state(torch_state: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """{torch name: array} -> {our dotted name: array} with layout fixes."""
+    out: dict[str, np.ndarray] = {}
+    for name, value in torch_state.items():
+        new = _rename(name)
+        if new is None:
+            continue
+        value = np.asarray(value)
+
+        if _is_adaln_linear(new):
+            leaf = "kernel" if new.endswith(".weight") else "bias"
+            new = new.rsplit(".", 1)[0] + "." + leaf
+            if leaf == "kernel":
+                value = value.T
+        elif new.endswith(".weight"):
+            base = new[: -len(".weight")]
+            if value.ndim == 3:  # Conv1d (out, in, k) -> (k, in, out)
+                new = base + ".kernel"
+                value = value.transpose(2, 1, 0)
+            elif value.ndim == 2:
+                if "embedding" in base.rsplit(".", 1)[-1] or base.endswith("text_embedding") \
+                        or base.endswith("speaker_embedding"):
+                    new = base + ".embedding"  # (vocab, dim), no transpose
+                else:
+                    new = base + ".kernel"
+                    value = value.T
+            elif value.ndim == 1:  # LayerNorm / norm scale
+                new = base + ".scale"
+            else:
+                new = base + ".weight"
+        elif new.endswith(".bias") and value.ndim == 1:
+            pass  # same name, same layout
+        out[new] = value
+    # norm scale names: our LayerNorm wrapper nests as `.norm.scale/bias`
+    out = {_fix_norm_nesting(k): v for k, v in out.items()}
+    return out
+
+
+def _fix_norm_nesting(name: str) -> str:
+    # plain LayerNorm wrapper: attention_norm/feed_forward_norm hold `.norm.`
+    # (AdaLN norms keep Linear children named weight/bias -> kernel/bias/scale
+    # never collide because AdaLN has no `.scale`)
+    m = re.match(r"^(.*(?:attention_norm|feed_forward_norm))\.(scale|bias)$", name)
+    if m:
+        return f"{m.group(1)}.norm.{m.group(2)}"
+    return name

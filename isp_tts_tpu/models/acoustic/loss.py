@@ -1,0 +1,146 @@
+"""Acoustic model loss: mel MSE + flow loss + CTC alignment + binarization KL.
+
+Capability parity with reference `tts/models/acoustic/loss.py:22-182`:
+- MelLoss: masked mel MSE (:22-33)
+- AttentionCTCLoss: blank column (logprob -1) padded at index 0, log_softmax,
+  CTC against the target sequence 1..text_len with zero_infinity (:41-79) —
+  here via optax.ctc_loss (forward algorithm in JAX) with torch 'mean'
+  reduction semantics (per-sample loss / target_length, then batch mean)
+- AttentionBinarizationLoss: -mean log soft-attention at hard-attention
+  positions (:87-105)
+- adaptor flow_loss passed through from the model output (:158-161)
+- each term has a weight + skip_steps gate (tts/modules/loss.py:26-30); the
+  reference's dataclass trailing-comma bug (:109-118) is fixed by intent.
+
+Returns ``(loss, {"model/mel_loss", "adaptor/flow_loss",
+"aligner/attention_loss", "aligner/kl_loss"})``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...utils.masks import get_mask_from_lengths, masked_mean
+
+
+@dataclass
+class WeightedLossConfig:
+    weight: float = 1.0
+    skip_steps: int = 0
+
+
+def weight_loss(loss: jnp.ndarray, cfg: WeightedLossConfig,
+                step: jnp.ndarray | int | None = None) -> jnp.ndarray:
+    """Scale by weight; zero until ``skip_steps`` (jit-safe: uses where)."""
+    out = cfg.weight * loss
+    if step is not None and cfg.skip_steps > 0:
+        out = jnp.where(jnp.asarray(step) < cfg.skip_steps, 0.0, out)
+    return out
+
+
+@dataclass
+class AttentionCTCLossConfig(WeightedLossConfig):
+    blank_logprob: float = -1.0
+
+
+@dataclass
+class AttentionBinarizationLossConfig(WeightedLossConfig):
+    eps: float = 1e-6
+
+
+@dataclass
+class AcousticLossConfig:
+    mel_loss: WeightedLossConfig = field(default_factory=WeightedLossConfig)
+    attention_loss: AttentionCTCLossConfig | None = field(default_factory=AttentionCTCLossConfig)
+    attention_kl_loss: AttentionBinarizationLossConfig | None = field(
+        default_factory=AttentionBinarizationLossConfig)
+
+
+def mel_loss_fn(mel_out: jnp.ndarray, mel_target: jnp.ndarray,
+                mel_lens: jnp.ndarray) -> jnp.ndarray:
+    """Masked MSE over valid frames. mel: (B, M, n_mels)."""
+    mask = get_mask_from_lengths(mel_lens, mel_out.shape[1])[..., None]
+    mask = jnp.broadcast_to(mask, mel_out.shape)
+    return masked_mean((mel_out - mel_target) ** 2, mask)
+
+
+def attention_ctc_loss_fn(attn_logits: jnp.ndarray, text_lens: jnp.ndarray,
+                          mel_lens: jnp.ndarray, blank_logprob: float = -1.0) -> jnp.ndarray:
+    """CTC forcing each text token to be visited in order.
+
+    attn_logits: (B, M, T). Targets are [1..text_len]; a blank column with
+    fixed logprob is padded at index 0.
+    """
+    B, M, T = attn_logits.shape
+    padded = jnp.pad(attn_logits, ((0, 0), (0, 0), (1, 0)),
+                     constant_values=blank_logprob)
+    logprobs = jax.nn.log_softmax(padded, axis=2)
+
+    labels = jnp.arange(1, T + 1, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+    label_paddings = (~get_mask_from_lengths(text_lens, T)).astype(jnp.float32)
+    labels = labels * (1 - label_paddings.astype(jnp.int32))
+    logit_paddings = (~get_mask_from_lengths(mel_lens, M)).astype(jnp.float32)
+
+    per_example = optax.ctc_loss(logprobs, logit_paddings, labels, label_paddings)
+    # torch nn.CTCLoss(reduction='mean'): divide by target length, then mean
+    per_example = per_example / jnp.maximum(text_lens.astype(per_example.dtype), 1.0)
+    # zero_infinity=True semantics
+    per_example = jnp.where(jnp.isfinite(per_example), per_example, 0.0)
+    return jnp.mean(per_example)
+
+
+def attention_binarization_loss_fn(attn_soft: jnp.ndarray, attn_hard: jnp.ndarray,
+                                   eps: float = 1e-6) -> jnp.ndarray:
+    """KL-style binarization loss: -mean log(soft) at hard positions."""
+    log_soft = jnp.log(jnp.clip(attn_soft, eps, None))
+    num = jnp.sum(log_soft * attn_hard)
+    return -num / jnp.maximum(jnp.sum(attn_hard), 1.0)
+
+
+class AcousticModelLoss:
+    """Callable criterion: (inputs, outputs, step) -> (loss, loss_dict)."""
+
+    Config = AcousticLossConfig
+
+    def __init__(self, config: AcousticLossConfig | None = None):
+        self.config = config or AcousticLossConfig()
+
+    def __call__(self, inputs: dict, outputs, step=None):
+        cfg = self.config
+        losses = {}
+
+        mel_l = mel_loss_fn(outputs.mel, inputs["mel"], inputs["mel_len"])
+        mel_l = weight_loss(mel_l, cfg.mel_loss, step)
+        losses["model/mel_loss"] = mel_l
+        loss = mel_l
+
+        if outputs.adaptor_output.losses is not None:
+            for key, l in outputs.adaptor_output.losses.items():
+                losses[f"adaptor/{key}"] = l
+                loss = loss + l
+
+        if cfg.attention_loss is not None and outputs.aligner_output is not None:
+            attn_l = attention_ctc_loss_fn(
+                outputs.aligner_output.attn_logits,
+                inputs["text_len"], inputs["mel_len"],
+                blank_logprob=cfg.attention_loss.blank_logprob,
+            )
+            attn_l = weight_loss(attn_l, cfg.attention_loss, step)
+            losses["aligner/attention_loss"] = attn_l
+            loss = loss + attn_l
+
+        if cfg.attention_kl_loss is not None and outputs.aligner_output is not None:
+            kl_l = attention_binarization_loss_fn(
+                outputs.aligner_output.attn_soft,
+                outputs.aligner_output.attn_hard,
+                eps=cfg.attention_kl_loss.eps,
+            )
+            kl_l = weight_loss(kl_l, cfg.attention_kl_loss, step)
+            losses["aligner/kl_loss"] = kl_l
+            loss = loss + kl_l
+
+        return loss, losses

@@ -21,6 +21,7 @@ from flax import nnx
 
 from ..ops.attention import scaled_dot_product_attention
 from .embeddings import LearnedALiBiBias
+from .policy import get_compute_dtype
 
 
 @dataclass
@@ -53,9 +54,10 @@ class Attention(nnx.Module):
         kv_dim = self.head_dim if cfg.one_kv_head else q_dim
         context_dim = cfg.context_dim or cfg.dim
 
-        self.to_q = nnx.Linear(cfg.dim, q_dim, use_bias=False, rngs=rngs)
-        self.to_kv = nnx.Linear(context_dim, 2 * kv_dim, use_bias=False, rngs=rngs)
-        self.to_out = nnx.Linear(q_dim, cfg.dim, use_bias=False, rngs=rngs)
+        dtype = get_compute_dtype()
+        self.to_q = nnx.Linear(cfg.dim, q_dim, use_bias=False, dtype=dtype, rngs=rngs)
+        self.to_kv = nnx.Linear(context_dim, 2 * kv_dim, use_bias=False, dtype=dtype, rngs=rngs)
+        self.to_out = nnx.Linear(q_dim, cfg.dim, use_bias=False, dtype=dtype, rngs=rngs)
         self.dropout = nnx.Dropout(cfg.dropout, rngs=rngs)
 
         alibi_heads = cfg.alibi_heads if cfg.alibi_heads is not None else cfg.heads

@@ -33,12 +33,12 @@ def alibi_slopes(heads: int) -> list[float]:
 
 
 def fixed_positional_embedding(seq_len: int, dim: int, dtype=jnp.float32) -> jnp.ndarray:
-    """(seq_len, dim) sinusoidal table: [sin | cos] halves."""
-    half = dim // 2
+    """(seq_len, dim) sinusoidal table: [sin | cos] halves (odd dims trimmed)."""
     inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
     pos = jnp.arange(seq_len, dtype=jnp.float32)
-    angles = pos[:, None] * inv_freq[None, :half]
-    return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1).astype(dtype)
+    angles = pos[:, None] * inv_freq[None, :]
+    emb = jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+    return emb[:, :dim].astype(dtype)
 
 
 def sinusoidal_embedding(positions: jnp.ndarray, dim: int, theta: float = 10000.0,
@@ -93,17 +93,27 @@ class LearnedALiBiBias(nnx.Module):
 
 
 class TimePositionalEmbedding(nnx.Module):
-    """Flow-matching time embedding: sinusoid(t * freq_scale) -> MLP(SiLU)."""
+    """Flow-matching time embedding: sinusoid(t * freq_scale) -> MLP(SiLU).
+
+    ``with_steps`` prepends the raw position to the sinusoid features
+    (reference embeddings.py:131-157 with_steps).
+    """
 
     def __init__(self, freq_dim: int = 256, emb_dim: int = 512, theta: float = 1000.0,
-                 freq_scale: float = 1000.0, *, rngs: nnx.Rngs):
+                 freq_scale: float = 1000.0, with_steps: bool = True, *, rngs: nnx.Rngs):
         self.freq_dim = freq_dim
         self.theta = theta
         self.freq_scale = freq_scale
-        self.fc1 = nnx.Linear(freq_dim, emb_dim, rngs=rngs)
-        self.fc2 = nnx.Linear(emb_dim, emb_dim, rngs=rngs)
+        self.with_steps = with_steps
+        from .policy import get_compute_dtype
+
+        dtype = get_compute_dtype()
+        self.fc1 = nnx.Linear(freq_dim + int(with_steps), emb_dim, dtype=dtype, rngs=rngs)
+        self.fc2 = nnx.Linear(emb_dim, emb_dim, dtype=dtype, rngs=rngs)
         self.act = choose_activation("silu")
 
     def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
         emb = sinusoidal_embedding(t, self.freq_dim, self.theta, self.freq_scale)
+        if self.with_steps:
+            emb = jnp.concatenate([t.astype(jnp.float32)[..., None], emb], axis=-1)
         return self.fc2(self.act(self.fc1(emb)))

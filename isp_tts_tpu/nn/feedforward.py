@@ -13,6 +13,7 @@ from flax import nnx
 
 from ..config.registry import MISSING  # noqa: F401  (re-export convention)
 from .layers import choose_activation
+from .policy import get_compute_dtype
 
 
 @dataclass
@@ -33,10 +34,13 @@ class FeedForward(nnx.Module):
         self.config = cfg
         self.act = choose_activation(cfg.activation)
         self.glu = cfg.glu
+        dtype = get_compute_dtype()
         self.fc1 = nnx.Linear(
-            cfg.dim, cfg.inner_dim * (2 if cfg.glu else 1), use_bias=cfg.bias, rngs=rngs
+            cfg.dim, cfg.inner_dim * (2 if cfg.glu else 1), use_bias=cfg.bias,
+            dtype=dtype, rngs=rngs,
         )
-        self.fc2 = nnx.Linear(cfg.inner_dim, cfg.dim, use_bias=cfg.bias, rngs=rngs)
+        self.fc2 = nnx.Linear(cfg.inner_dim, cfg.dim, use_bias=cfg.bias,
+                              dtype=dtype, rngs=rngs)
         self.dropout = nnx.Dropout(cfg.dropout, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -123,8 +123,11 @@ class Transformer(nnx.Module):
         pre_norm = layer_cfg.pre_norm
         has_rel_pos = self.layers[0].attention.rel_pos is not None
         self.use_abs_pos_emb = cfg.use_abs_pos_emb and not has_rel_pos
+        from .policy import get_compute_dtype
+
         self.project_emb = (
-            nnx.Linear(self.emb_dim, cfg.dim, rngs=rngs) if self.emb_dim != cfg.dim else None
+            nnx.Linear(self.emb_dim, cfg.dim, dtype=get_compute_dtype(), rngs=rngs)
+            if self.emb_dim != cfg.dim else None
         )
         self.norm = nnx.LayerNorm(cfg.dim, rngs=rngs) if pre_norm else None
 

@@ -1,0 +1,64 @@
+"""Training CLI.
+
+Parity: reference `tts/train.py:11-32`:
+    python -m isp_tts_tpu.train --config-root recipes --config-name <yaml>
+Extra: ``--set section.key=value`` overrides, ``--compute-stats``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def parse_overrides(pairs: list[str]) -> dict:
+    import ast
+
+    root: dict = {}
+    for pair in pairs or []:
+        key, _, raw = pair.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = root
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return root
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="isp_tts_tpu trainer")
+    parser.add_argument("--config-root", default="recipes")
+    parser.add_argument("--config-name", required=True)
+    parser.add_argument("--set", dest="overrides", action="append", default=[],
+                        metavar="KEY=VALUE", help="config overrides (dot paths)")
+    parser.add_argument("--compute-stats", action="store_true",
+                        help="compute dataset pitch/energy stats and exit")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+    )
+
+    from .training.experiment import ExperimentModules
+
+    modules = ExperimentModules(args.config_name, args.config_root,
+                                overrides=parse_overrides(args.overrides))
+
+    if args.compute_stats:
+        dataset = modules.build_dataset("train")
+        stats = dataset.compute_stats(save_stats=True)
+        print(stats.to_dict())
+        return
+
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Trainer configuration.
+
+Capability parity with reference `tts/experiments/trainer_config.py` (~40
+fields): train/eval toggles, seed, precision, logging, epochs/max_steps,
+batch sizes, eval/save strategies with best-metric tracking, resume /
+warm-start / freeze semantics, callbacks. TPU-specific additions:
+``precision`` is a bf16/fp32 compute policy (no loss scaling needed on TPU),
+``mesh_model_axis`` reserves a tensor-parallel mesh axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from .optimizers import OptimizationConfig
+
+
+@dataclass
+class TrainerConfig:
+    # what to run
+    do_train: bool = True
+    do_eval: bool = True
+
+    # reproducibility / numerics
+    seed: int = 42
+    precision: str = "bf16"  # compute dtype: bf16 | fp32 (master weights fp32)
+
+    # output / logging
+    output_dir: str = "results"
+    experiment_name: str = "experiment"
+    label: str | None = None
+    log_with: tuple = ("tensorboard",)
+    logging_strategy: str = "steps"  # no | steps | epoch
+    logging_steps: int = 10
+    progress: bool = True
+    disable_tqdm: bool = False
+
+    # data
+    shuffle: bool = True
+    drop_last: bool = True
+
+    # schedule
+    epochs: int = 100
+    max_steps: int | None = None
+    batch_size: int = 32
+    eval_batch_size: int | None = None
+
+    # evaluation
+    eval_strategy: str = "steps"  # no | steps | epoch
+    eval_steps: int = 50
+    eval_first_step: bool = False
+    eval_batches: int | None = None
+    eval_mode: bool = True  # model.eval() during evaluation
+
+    # optimization
+    optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
+
+    # checkpointing
+    save_strategy: str = "steps"  # no | steps | epoch
+    save_steps: int = 50
+    save_optimizer: bool = True
+    save_best_only: bool = False
+    save_rewrite_checkpoint: bool = False
+    metric_for_best_model: str | None = "loss"
+    metric_maximize: bool = False
+
+    # resume / warm start / fine-tuning
+    resume_from_checkpoint: str | None = None
+    warm_start: bool = False
+    ignore_layers: tuple = ()
+    ignore_mismatched_keys: bool = True
+    finetune_layers: tuple | None = None  # None = all; [] = all; [prefixes]
+    restore_optimizer: bool = False
+    restore_lr: bool = True
+
+    # callbacks: {name: {kwargs}} merged with the defaults
+    callbacks: dict = field(default_factory=dict)
+
+    # mesh
+    mesh_model_axis: int = 1  # tensor-parallel axis size (1 = pure DP)
+    num_devices: int | None = None  # cap the device count (testing)
+
+    def __post_init__(self):
+        if self.eval_batch_size is None:
+            self.eval_batch_size = self.batch_size
+        parts = [p for p in (self.experiment_name, self.label) if p]
+        self.run_dir = str(Path(self.output_dir, *parts))

@@ -1,0 +1,143 @@
+import numpy as np
+import pytest
+
+from isp_tts_tpu.config import build_config
+from isp_tts_tpu.data import AcousticCollator, AcousticDataset, DataLoader, TTSMeta
+from isp_tts_tpu.data.audio import load_audio, write_wav
+from isp_tts_tpu.data.dataset import AcousticDatasetConfig
+from isp_tts_tpu.data.text import CodingTable, punct_corrector
+
+SR = 22050
+
+
+# ---------------------------------------------------------------------------
+# text front-end
+# ---------------------------------------------------------------------------
+
+def test_coding_table_from_charset_macros():
+    ct = CodingTable.from_charset(["<pad>", "</s>", "#punct", "#en"])
+    assert ct.encode("<pad>") == 0  # pad is id 0
+    assert ct.encode("</s>") == 1
+    assert "a" in ct and "z" in ct and "." in ct
+    vec = ct.text_to_vector(ct.check_eos("ab."))
+    assert vec[-1] == ct.encode("</s>")
+    assert ct.vector_to_text(vec) == "ab.</s>"
+
+
+def test_coding_table_unknown_chars_dropped():
+    ct = CodingTable.from_charset(["<pad>", "#en"])
+    vec = ct.text_to_vector("aXb✓")
+    assert ct.vector_to_text(vec) == "ab"
+
+
+def test_punct_corrector():
+    assert punct_corrector("  «Hello»  [world] … ") == '"Hello" world ...'
+    assert punct_corrector("?!hello") == "hello"
+    assert punct_corrector("end , .") == "end."
+
+
+# ---------------------------------------------------------------------------
+# synthetic dataset fixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def toy_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toyds")
+    (root / "wavs").mkdir()
+    rng = np.random.RandomState(0)
+    texts = ["hello world.", "a be sea!", "the quick brown fox?",
+             "pad me up.", "five is alive,", "six mix."]
+    lines = []
+    for i, text in enumerate(texts):
+        dur = 0.35 + 0.12 * i
+        n = int(SR * dur)
+        t = np.arange(n) / SR
+        f0 = 120 + 30 * i
+        wav = 0.4 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.randn(n)
+        write_wav(root / "wavs" / f"utt{i}.wav", wav.astype(np.float32), SR)
+        lines.append(f"wavs/utt{i}.wav|{text}|spk{i % 2}")
+    (root / "meta.csv").write_text("\n".join(lines) + "\n")
+    return root
+
+
+def _dataset(root, **over):
+    cfg = build_config(AcousticDatasetConfig, dict({
+        "root": str(root),
+        "meta_name": "meta.csv",
+        "meta_column_names": ("audio_path", "text", "speaker"),
+        "text": {"charset": ["<pad>", "</s>", "#punct", "#en"]},
+        "audio": {"sample_rate": SR},
+        "spec": {"n_fft": 1024, "hop_length": 256, "win_length": 1024},
+        "mel_scale": {"sample_rate": SR, "n_mels": 80},
+        "pitch": {"sample_rate": SR},
+        "energy": {},
+        "speaker": {"spk0": 0, "spk1": 1},
+    }, **over))
+    return AcousticDataset(cfg)
+
+
+def test_wav_roundtrip(tmp_path):
+    x = (0.3 * np.sin(np.linspace(0, 100, 4000))).astype(np.float32)
+    write_wav(tmp_path / "x.wav", x, SR)
+    y = load_audio(tmp_path / "x.wav", SR)
+    np.testing.assert_allclose(x, y, atol=2e-4)
+
+
+def test_dataset_sample(toy_dataset):
+    ds = _dataset(toy_dataset)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s.mel.shape[1] == 80 and s.mel.shape[0] == s.mel_len
+    assert s.pitch.shape == (s.mel_len,)
+    assert s.energy.shape == (s.mel_len,)
+    assert s.speaker == 0 and ds[1].speaker == 1
+    assert s.text_vector[-1] == 1  # EOS id
+    assert np.isfinite(s.mel).all()
+
+
+def test_dataset_stats_and_standardization(toy_dataset):
+    ds = _dataset(toy_dataset)
+    stats = ds.compute_stats(save_stats=True)
+    assert 100 < stats.pitch.mean < 350  # tones at 120..270 Hz
+    assert stats.pitch.std > 0
+    assert (toy_dataset / "stats.json").exists()
+    # pitch is now standardized with the stats
+    s = ds[0]
+    voiced = s.pitch[np.abs(s.pitch) > 1e-9]
+    assert np.abs(np.median(voiced)) < 4.0
+
+
+def test_dataset_length_filters(toy_dataset):
+    ds = _dataset(toy_dataset, text_length_limits=(0, 12))
+    assert len(ds) < 6
+    ds2 = _dataset(toy_dataset, audio_length_limits=(0.0, 0.5))
+    assert len(ds2) < 6
+
+
+def test_collator_bucketing(toy_dataset):
+    ds = _dataset(toy_dataset)
+    coll = AcousticCollator(text_pad_multiple=16, mel_pad_multiple=64)
+    batch = coll([ds[i] for i in range(4)])
+    B, T = batch["text_vector"].shape
+    _, M, n_mels = batch["mel"].shape
+    assert B == 4 and T % 16 == 0 and M % 64 == 0 and n_mels == 80
+    assert batch["pitch"].shape == (4, M)
+    assert batch["speaker"].tolist() == [0, 1, 0, 1]
+    # padding is zero beyond each mel_len
+    for i in range(4):
+        assert batch["mel"][i, batch["mel_len"][i]:].sum() == 0
+
+
+def test_dataloader_sharding(toy_dataset):
+    ds = _dataset(toy_dataset)
+    coll = AcousticCollator()
+    dl = DataLoader(ds, coll, batch_size=4, shuffle=True, seed=1)
+    batches = list(dl)
+    assert len(batches) == 1 and batches[0]["mel"].shape[0] == 4
+
+    # two shards each see half of every batch
+    dl0 = DataLoader(ds, coll, batch_size=4, num_shards=2, shard_index=0)
+    dl1 = DataLoader(ds, coll, batch_size=4, num_shards=2, shard_index=1)
+    b0, b1 = next(iter(dl0)), next(iter(dl1))
+    assert b0["mel"].shape[0] == 2 and b1["mel"].shape[0] == 2
+    assert set(b0["filename"]).isdisjoint(b1["filename"])

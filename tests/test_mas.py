@@ -73,3 +73,17 @@ def test_mas_jittable_and_stable_under_jit():
         np.asarray(jitted(logits, tl, ml)),
         np.asarray(monotonic_alignment_search(logits, tl, ml)),
     )
+
+
+def test_mas_pallas_interpret_matches_oracle():
+    """Pallas kernel (interpret mode on CPU) vs the numpy oracle."""
+    from isp_tts_tpu.ops.mas_pallas import monotonic_alignment_search_pallas
+
+    B, M, T = 3, 40, 16
+    logits = _random_lattice(B, M, T, seed=7)
+    tl = np.array([16, 9, 13], np.int32)
+    ml = np.array([40, 21, 33], np.int32)
+    ours = np.asarray(monotonic_alignment_search_pallas(
+        logits, tl, ml, interpret=True))
+    oracle = mas_numpy(logits, tl, ml)
+    np.testing.assert_array_equal(ours, oracle)
