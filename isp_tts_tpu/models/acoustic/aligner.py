@@ -183,9 +183,9 @@ class Aligner(nnx.Module):
                  mel_len: jnp.ndarray, text_len: jnp.ndarray) -> AlignerOutput:
         attn_soft, attn_logits = self.attention(mel, enc_text, mel_len, text_len)
 
-        attn_hard = jax.lax.stop_gradient(
-            self._mas(attn_logits, text_len, mel_len)
-        )
+        # cut gradients at the INPUT: MAS is non-differentiable and the
+        # Pallas kernel defines no JVP rule
+        attn_hard = self._mas(jax.lax.stop_gradient(attn_logits), text_len, mel_len)
         attn_hard_duration = jnp.sum(attn_hard, axis=1)  # (B, T)
         # self-healing: assign any deficit to the first token (reference
         # alignment.py:278-282); a no-op when durations already sum to mel_len
