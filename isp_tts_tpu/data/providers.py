@@ -173,15 +173,32 @@ class PitchProvider:
 
     def __call__(self, source, mean: float = 0.0, std: float = 1.0) -> np.ndarray:
         pre = _maybe_load(source)
+        c = self.config
         if pre is not None:
             pitch = pre
-        else:
-            c = self.config
+        elif c.method in ("yin", "torch-yin"):
             audio = np.pad(np.asarray(source), (self.pad, self.pad))
             pitch = np.asarray(yin_pitch(
                 jnp.asarray(audio), c.sample_rate, self.f_min, c.f_max,
                 c.hop_length, c.threshold,
             ))
+        elif c.method == "penn":
+            try:
+                import penn  # optional neural pitch estimator
+            except ImportError as e:
+                raise ImportError(
+                    "pitch method 'penn' requires the `penn` package; "
+                    "use method 'yin' in minimal environments") from e
+            import torch
+
+            p, periodicity = penn.from_audio(
+                torch.from_numpy(np.asarray(source))[None], c.sample_rate,
+                hopsize=c.hop_length / c.sample_rate,
+                fmin=self.f_min, fmax=c.f_max, batch_size=128)
+            pitch = p[0].float().numpy()
+            pitch[periodicity[0].float().numpy() < c.threshold] = 0.0
+        else:
+            raise ValueError(f"unknown pitch method {c.method!r}")
         if self.config.norm == "log":
             return np.log1p(np.maximum(pitch, 0.0))
         return (pitch - mean) / std

@@ -1,0 +1,109 @@
+"""Mel -> waveform synthesis ops.
+
+The reference delegates vocoding to an external TorchScript Vocos checkpoint
+(`notebooks/inference.ipynb` cell 7) that is not part of the repo. For a
+self-contained synthesis path this module provides a fully jittable
+Griffin-Lim vocoder:
+
+  log-mel -> (exp) -> mel -> (filterbank pseudo-inverse, NNLS-ish clamp)
+  -> magnitude STFT -> iterative phase recovery -> ISTFT
+
+plus :func:`istft` (overlap-add with window-square normalization) usable by
+any neural vocoder head added later.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import hann_window, mel_filterbank, stft_magnitude
+
+
+@functools.lru_cache(maxsize=4)
+def _mel_pinv(sample_rate: int, n_fft: int, n_mels: int, f_min: float,
+              f_max: float | None) -> np.ndarray:
+    fb = mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max)  # (mels, freqs)
+    return np.linalg.pinv(fb).astype(np.float32)  # (freqs, mels)
+
+
+def mel_to_linear(log_mel: jnp.ndarray, sample_rate: int, n_fft: int = 1024,
+                  f_min: float = 0.0, f_max: float | None = 8000.0) -> jnp.ndarray:
+    """(..., frames, n_mels) log-mel -> (..., n_freqs, frames) magnitude."""
+    n_mels = log_mel.shape[-1]
+    pinv = jnp.asarray(_mel_pinv(sample_rate, n_fft, n_mels, f_min, f_max))
+    mel = jnp.exp(log_mel)  # invert dynamic-range compression
+    mag = jnp.einsum("fm,...tm->...ft", pinv, mel)
+    return jnp.maximum(mag, 0.0)
+
+
+def istft(spec: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256,
+          win_length: int = 1024) -> jnp.ndarray:
+    """Inverse STFT with overlap-add, (..., n_freqs, frames) complex -> (..., n)."""
+    win = hann_window(win_length)
+    frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)  # (..., T, n_fft)
+    frames = frames * win
+
+    T = frames.shape[-2]
+    out_len = n_fft + hop_length * (T - 1)
+    idx = jnp.arange(T)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+
+    def ola(fr):
+        sig = jnp.zeros((out_len,), fr.dtype).at[idx.reshape(-1)].add(fr.reshape(-1))
+        norm = jnp.zeros((out_len,)).at[idx.reshape(-1)].add(
+            jnp.broadcast_to(win * win, (T, n_fft)).reshape(-1))
+        return sig / jnp.maximum(norm, 1e-8)
+
+    flat = frames.reshape((-1,) + frames.shape[-2:])
+    out = jax.vmap(ola)(flat)
+    return out.reshape(frames.shape[:-2] + (out_len,))
+
+
+def griffin_lim(magnitude: jnp.ndarray, n_iter: int = 32, n_fft: int = 1024,
+                hop_length: int = 256, win_length: int = 1024,
+                key: jax.Array | None = None) -> jnp.ndarray:
+    """Phase recovery from (..., n_freqs, frames) magnitudes via `lax.scan`."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    pad = (n_fft - hop_length) // 2
+    angles = jax.random.uniform(key, magnitude.shape, minval=-np.pi, maxval=np.pi)
+    phase = jnp.exp(1j * angles.astype(jnp.float32))
+
+    def body(phase, _):
+        audio = istft(magnitude * phase, n_fft, hop_length, win_length)
+        # re-analyze: crop the synthesis padding so frame alignment matches
+        audio_c = audio[..., pad:audio.shape[-1] - pad] if pad else audio
+        spec = _stft_complex(audio_c, n_fft, hop_length, win_length, pad)
+        spec = spec[..., : magnitude.shape[-1]]
+        new_phase = spec / jnp.maximum(jnp.abs(spec), 1e-8)
+        return new_phase, None
+
+    phase, _ = jax.lax.scan(body, phase, None, length=n_iter)
+    audio = istft(magnitude * phase, n_fft, hop_length, win_length)
+    return audio[..., pad:audio.shape[-1] - pad] if pad else audio
+
+
+def _stft_complex(audio, n_fft, hop_length, win_length, pad):
+    from .audio import frame_signal
+
+    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)])
+    frames = frame_signal(x, n_fft, hop_length)
+    win = hann_window(win_length)
+    return jnp.swapaxes(jnp.fft.rfft(frames * win, n=n_fft, axis=-1), -1, -2)
+
+
+def mel_to_audio(log_mel: jnp.ndarray, sample_rate: int = 22050,
+                 n_fft: int = 1024, hop_length: int = 256, win_length: int = 1024,
+                 f_min: float = 0.0, f_max: float | None = 8000.0,
+                 n_iter: int = 32, power: float = 1.2,
+                 key: jax.Array | None = None) -> jnp.ndarray:
+    """Full Griffin-Lim vocoder: (..., frames, n_mels) log-mel -> waveform.
+
+    ``power`` > 1 sharpens magnitudes before phase recovery (a standard
+    Griffin-Lim quality tweak).
+    """
+    mag = mel_to_linear(log_mel, sample_rate, n_fft, f_min, f_max) ** power
+    return griffin_lim(mag, n_iter, n_fft, hop_length, win_length, key=key)

@@ -66,3 +66,16 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 def process_local_mesh_info() -> tuple[int, int]:
     """(num_processes, process_index) for data-loader sharding."""
     return jax.process_count(), jax.process_index()
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: `jax.distributed.initialize` (TPU pods auto-detect
+    all arguments from the environment; GCE metadata supplies the topology).
+    Call once before any jax op. Single-host runs skip this entirely."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -162,6 +162,9 @@ class Trainer:
         self._train_step = None  # built lazily
         self._eval_step = None
 
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
         self.callbacks.on_init_end(self.config, self.state, self.control)
 
     # ------------------------------------------------------------------
@@ -318,6 +321,7 @@ class Trainer:
             if is_train:
                 self.state.global_step += 1
                 self.state.epoch_step += 1
+                self._maybe_profile()
                 self.callbacks.on_step_end(cfg, self.state, self.control)
                 self._maybe_log_save_evaluate(step_acc)
             else:
@@ -334,6 +338,21 @@ class Trainer:
             self._maybe_log_save_evaluate(step_acc)
             self.state.epoch = float(int(self.state.epoch) + 1)
         return epoch_acc.means()
+
+    def _maybe_profile(self):
+        """jax.profiler trace for the configured step window
+        (TPU-native replacement for the reference's wall-clock-only timing,
+        SURVEY.md §5.1). View with tensorboard's profile plugin."""
+        window = self.config.profile_steps
+        if not window or not self.is_main_process:
+            return
+        start, end = int(window[0]), int(window[1])
+        if self.state.global_step == start:
+            jax.profiler.start_trace(str(self.run_dir / "profile"))
+            logger.info("profiler trace started (steps %d..%d)", start, end)
+        elif self.state.global_step == end:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", self.run_dir / "profile")
 
     def _maybe_log_save_evaluate(self, step_acc: Accumulator):
         cfg = self.config

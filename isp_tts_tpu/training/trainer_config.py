@@ -81,6 +81,10 @@ class TrainerConfig:
     mesh_model_axis: int = 1  # tensor-parallel axis size (1 = pure DP)
     num_devices: int | None = None  # cap the device count (testing)
 
+    # observability / numerics debugging
+    profile_steps: tuple | None = None  # (start_step, end_step) jax.profiler trace
+    debug_nans: bool = False  # jax.config.jax_debug_nans opt-in
+
     def __post_init__(self):
         if self.eval_batch_size is None:
             self.eval_batch_size = self.batch_size
