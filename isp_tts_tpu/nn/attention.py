@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 from flax import nnx
 
@@ -36,6 +37,7 @@ class AttentionConfig:
     alibi_pos_bias: bool = False
     alibi_heads: int | None = None
     alibi_symmetric: bool = True
+    flash: str = "auto"  # auto | on | off — fused Pallas kernel w/ in-kernel ALiBi
 
 
 class Attention(nnx.Module):
@@ -118,14 +120,46 @@ class Attention(nnx.Module):
                 attention_mask = attention_mask[None]
             attn_mask = attention_mask if attn_mask is None else attn_mask & attention_mask
 
-        bias = None
-        if self.rel_pos is not None:
-            bias = shared_bias if shared_bias is not None else self.rel_pos(n, m, offset=m - n)
-            shared_bias = bias
+        use_flash = self.config.flash
+        if use_flash == "auto":
+            use_flash = (
+                "on"
+                if (jax.default_backend() not in ("cpu",)
+                    and attention_mask is None and not self.causal
+                    and context is None)
+                else "off"
+            )
+        if use_flash == "on":
+            # fused Pallas path: ALiBi recomputed from slopes in-kernel
+            if self.rel_pos is not None:
+                slopes = jnp.exp(self.rel_pos.log_slopes.value)
+                if self.rel_pos.symmetric:
+                    s = slopes[:, 0, 0]
+                    s = jnp.pad(s, (0, self.heads - s.shape[0]))
+                    slopes2 = jnp.stack([s, s])
+                else:
+                    lo = jnp.pad(slopes[0, :, 0, 0], (0, self.heads - slopes.shape[1]))
+                    hi = jnp.pad(slopes[1, :, 0, 0], (0, self.heads - slopes.shape[1]))
+                    slopes2 = jnp.stack([lo, hi])
+            else:
+                slopes2 = jnp.zeros((2, self.heads), jnp.float32)
+            key_lens = (jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+                        if key_mask is not None
+                        else jnp.full((b,), m, jnp.int32))
+            from ..ops.flash_attention import flash_attention
 
-        out = scaled_dot_product_attention(
-            q, k, v, scale=self.scale, bias=bias, mask=attn_mask, causal=self.causal
-        )
+            out = flash_attention(q, k, v, slopes2, key_lens,
+                                  self.scale, offset=m - n)
+        else:
+            bias = None
+            if self.rel_pos is not None:
+                bias = (shared_bias if shared_bias is not None
+                        else self.rel_pos(n, m, offset=m - n))
+                shared_bias = bias
+            out = scaled_dot_product_attention(
+                q, k, v, scale=self.scale, bias=bias, mask=attn_mask,
+                causal=self.causal,
+            )
         out = self.dropout(out)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, self.heads * self.head_dim)
         out = self.to_out(out)

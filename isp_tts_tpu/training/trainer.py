@@ -214,8 +214,24 @@ class Trainer:
                        **{k: v.astype(jnp.float32) for k, v in losses.items()}}
             return outputs, metrics
 
-        self._train_step = train_step
-        self._eval_step = eval_step
+        self._train_step_fn = train_step
+        self._eval_step_fn = eval_step
+        self._cached_mode = None
+        self._train_step = True  # marker: steps built
+
+    def _step_for_mode(self, mode: str):
+        """nnx.jit traversal of a 23M-param module costs ~40ms/call; cache the
+        module flattening per train/eval mode (rebuilt on mode flips, which
+        also re-snapshots the static graphdef with the right dropout state)."""
+        if self._cached_mode != mode:
+            if mode == "train":
+                self.model.train()
+            elif self.config.eval_mode:
+                self.model.eval()
+            self._cached_train = nnx.cached_partial(self._train_step_fn, self.model)
+            self._cached_eval = nnx.cached_partial(self._eval_step_fn, self.model)
+            self._cached_mode = mode
+        return self._cached_train if mode == "train" else self._cached_eval
 
     # ------------------------------------------------------------------
     # training
@@ -298,13 +314,11 @@ class Trainer:
                 self.opt_state = set_learning_rate(
                     self.opt_state, lr, self._grad_accum, self._has_freeze_mask)
                 self.state.learning_rate = lr
-                self.model.train()
-                self.opt_state, metrics = self._train_step(
-                    self.model, self.opt_state, batch, step_arr)
+                step_fn = self._step_for_mode("train")
+                self.opt_state, metrics = step_fn(self.opt_state, batch, step_arr)
             else:
-                if self.config.eval_mode:
-                    self.model.eval()
-                outputs, metrics = self._eval_step(self.model, batch, step_arr)
+                step_fn = self._step_for_mode("eval")
+                outputs, metrics = step_fn(batch, step_arr)
                 if self.evaluator is not None:
                     inputs = self.model.prepare_inputs(batch)
                     metrics = {**metrics, **self.evaluator(inputs, outputs)}

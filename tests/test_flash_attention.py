@@ -1,0 +1,59 @@
+"""Flash-attention kernel vs einsum reference (runs on TPU; skipped on CPU —
+Mosaic kernels don't lower to the CPU backend; see /tmp-driven TPU runs and
+the attention module's auto-dispatch, which keeps the einsum path on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() == "cpu",
+    reason="Pallas flash attention requires a TPU backend",
+)
+
+
+def _ref_attn(q, k, v, slopes2, key_lens, scale, offset=0):
+    from isp_tts_tpu.ops.attention import scaled_dot_product_attention
+
+    N, M = q.shape[2], k.shape[2]
+    i = jnp.arange(N)[:, None]
+    j = jnp.arange(M)[None, :]
+    dist = -jnp.abs(j - i - offset).astype(jnp.float32)
+    lower = j <= i + offset
+    bias = jnp.where(lower, slopes2[0][:, None, None] * dist,
+                     slopes2[1][:, None, None] * dist)
+    mask = (j < key_lens[:, None])[:, None, None, :]
+    return scaled_dot_product_attention(q, k, v, scale=scale, bias=bias[None], mask=mask)
+
+
+@pytest.mark.parametrize("hkv", [1, 6])
+def test_flash_matches_reference_with_grads(hkv):
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+    from isp_tts_tpu.ops.flash_attention import flash_attention
+
+    rng = np.random.RandomState(0)
+    B, H, N, D = 2, 6, 256, 64
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, hkv, N, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, hkv, N, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl])
+    key_lens = jnp.asarray([N, N - 57], jnp.int32)
+    scale = D ** -0.5
+
+    out_f = flash_attention(q, k, v, slopes2, key_lens, scale)
+    out_r = _ref_attn(q, k, v, slopes2, key_lens, scale)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=5e-3)
+
+    def loss_f(q, k, v, s):
+        return jnp.sum(flash_attention(q, k, v, s, key_lens, scale) ** 2)
+
+    def loss_r(q, k, v, s):
+        return jnp.sum(_ref_attn(q, k, v, s, key_lens, scale) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    for name, a, b in zip(("dq", "dk", "dv", "dslopes"), gf, gr):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 2e-2, f"{name} rel err {rel}"
