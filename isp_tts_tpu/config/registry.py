@@ -43,8 +43,13 @@ def strip_meta(cfg: dict) -> dict:
 def filter_to_fields(config_cls: Type[T], cfg: dict, warn_extra: bool = True) -> dict:
     names = {f.name for f in dataclasses.fields(config_cls)}
     known, extra = {}, []
-    for k, v in strip_meta(cfg).items():
-        (known.__setitem__(k, v) if k in names else extra.append(k))
+    for k, v in cfg.items():
+        if k in names:  # declared fields win, even meta-style ones (_target_)
+            known[k] = v
+        elif k.startswith("_"):  # undeclared meta keys are silently dropped
+            continue
+        else:
+            extra.append(k)
     if extra and warn_extra:
         logger.warning("%s: ignoring unknown config keys %s", config_cls.__name__, extra)
     return known

@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from flax import nnx
 
 from ...nn.layers import choose_activation
-from ...nn.norms import MaskedInstanceNorm1d
 from ...ops.mas import monotonic_alignment_search
 from ...utils.masks import get_mask_from_lengths
 
@@ -61,10 +60,11 @@ class ConvBlock1D(nnx.Module):
             padding="SAME", use_bias=bias and normalization is None,
             dtype=get_compute_dtype(), rngs=rngs,
         )
+        from ...nn.layers import choose_normalization
+
         self.act = choose_activation(activation)
-        self.norm = (
-            MaskedInstanceNorm1d(out_channels) if normalization == "instance" else None
-        )
+        norm_cls = choose_normalization(normalization)
+        self.norm = norm_cls(out_channels) if norm_cls is not None else None
         self.dropout = nnx.Dropout(dropout, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -82,6 +82,7 @@ class Attention(nnx.Module):
         context_mask: jnp.ndarray | None = None,
         attention_mask: jnp.ndarray | None = None,
         shared_bias: jnp.ndarray | None = None,
+        cache: tuple[jnp.ndarray, jnp.ndarray] | None = None,
     ):
         """Args:
           x: (B, N, dim).
@@ -90,23 +91,35 @@ class Attention(nnx.Module):
           context_mask: (B, M) bool padding mask of ``context``.
           attention_mask: bool, (N, M) / (H, N, M) / (B, H, N, M).
           shared_bias: precomputed ALiBi bias shared across layers.
+          cache: optional (k, v) from previous steps — self-attention keys/
+            values are concatenated (incremental decoding; parity with the
+            reference's KV-cache plumbing, attention.py:113-121); for
+            cross-attention the cached projections are reused directly.
 
         Returns:
-          (out (B, N, dim), shared_bias) — shared_bias for cross-layer reuse.
+          (out (B, N, dim), shared_bias, new_cache).
         """
         b, n, _ = x.shape
         kv_input = context if context is not None else x
         m = kv_input.shape[1]
 
         q = self.to_q(x).reshape(b, n, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-        kv = self.to_kv(kv_input)
-        k, v = jnp.split(kv, 2, axis=-1)
-        if self.one_kv_head:
-            k = k[:, None]  # (B, 1, M, D)
-            v = v[:, None]
+        if cache is not None and context is not None:
+            k, v = cache  # cross-attention: reuse cached projections
         else:
-            k = k.reshape(b, m, self.heads, self.head_dim).transpose(0, 2, 1, 3)
-            v = v.reshape(b, m, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            kv = self.to_kv(kv_input)
+            k, v = jnp.split(kv, 2, axis=-1)
+            if self.one_kv_head:
+                k = k[:, None]  # (B, 1, M, D)
+                v = v[:, None]
+            else:
+                k = k.reshape(b, m, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+                v = v.reshape(b, m, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+            if cache is not None:  # self-attention: append to the cache
+                k = jnp.concatenate([cache[0], k], axis=2)
+                v = jnp.concatenate([cache[1], v], axis=2)
+        new_cache = (k, v)
+        m = k.shape[2]
 
         # key-side padding mask ∪ explicit attention mask
         key_mask = context_mask if context is not None else mask
@@ -166,4 +179,4 @@ class Attention(nnx.Module):
 
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
-        return out, shared_bias
+        return out, shared_bias, new_cache

@@ -25,3 +25,16 @@ def choose_activation(name: str):
     if name not in ACTIVATIONS:
         raise KeyError(f"Unknown activation {name!r}; known: {sorted(ACTIVATIONS)}")
     return ACTIVATIONS[name]
+
+
+def choose_normalization(name: str | None):
+    """Masked normalization factory for (B, T, C) sequences
+    (parity: reference `tts/modules/layers.py:55`)."""
+    if name is None:
+        return None
+    from .norms import MaskedBatchNorm1d, MaskedInstanceNorm1d
+
+    table = {"batch": MaskedBatchNorm1d, "instance": MaskedInstanceNorm1d}
+    if name not in table:
+        raise KeyError(f"Unknown normalization {name!r}; known: {sorted(table)}")
+    return table[name]

@@ -60,6 +60,51 @@ class AdaptiveLayerNorm(nnx.Module):
         return weight * normed + bias
 
 
+class MaskedBatchNorm1d(nnx.Module):
+    """Batch norm over (batch, time) using only unmasked positions, with
+    running statistics updated by masked means.
+
+    Input (B, T, C); mask (B, T) True=valid. Parity: reference
+    tts/modules/normalization.py:69-104 (+ _masked_norm :160-208). Running
+    stats live in nnx.BatchStat so they are excluded from gradients and
+    travel with checkpoints; ``use_running_average`` follows train/eval mode.
+    """
+
+    def __init__(self, num_features: int, eps: float = 1e-5, momentum: float = 0.1,
+                 affine: bool = True, *, rngs: nnx.Rngs | None = None):
+        self.eps = eps
+        self.momentum = momentum
+        self.affine = affine
+        self.mean = nnx.BatchStat(jnp.zeros((num_features,)))
+        self.var = nnx.BatchStat(jnp.ones((num_features,)))
+        if affine:
+            self.scale = nnx.Param(jnp.ones((num_features,)))
+            self.shift = nnx.Param(jnp.zeros((num_features,)))
+        # flipped automatically by nnx Module.train()/.eval()
+        self.use_running_average = False
+
+    def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
+        if self.use_running_average:
+            mean, var = self.mean.value, self.var.value
+        else:
+            if mask is None:
+                mean = jnp.mean(x, axis=(0, 1))
+                var = jnp.var(x, axis=(0, 1))
+            else:
+                m = mask[:, :, None].astype(x.dtype)
+                count = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m, axis=(0, 1)) / count
+                var = jnp.sum((x - mean) ** 2 * m, axis=(0, 1)) / count
+            self.mean.value = (1 - self.momentum) * self.mean.value + self.momentum * mean
+            self.var.value = (1 - self.momentum) * self.var.value + self.momentum * var
+        out = (x - mean) / jnp.sqrt(var + self.eps)
+        if self.affine:
+            out = out * self.scale.value + self.shift.value
+        if mask is not None:
+            out = out * mask[:, :, None].astype(x.dtype)
+        return out
+
+
 class MaskedInstanceNorm1d(nnx.Module):
     """Instance norm over the time axis using only unmasked positions.
 

@@ -60,15 +60,16 @@ class TransformerLayer(nnx.Module):
         self.feed_forward = FeedForward(ff_cfg, rngs=rngs)
 
     def __call__(self, x, mask=None, context=None, context_mask=None,
-                 attention_mask=None, adaptive_condition=None, shared_bias=None):
+                 attention_mask=None, adaptive_condition=None, shared_bias=None,
+                 cache=None):
         if self.adaptive_norm and adaptive_condition is None:
             raise ValueError("adaptive_condition must be provided for AdaptiveLayerNorm")
 
         residual = x
         out = self.attention_norm(x, adaptive_condition) if self.pre_norm else x
-        out, shared_bias = self.attention(
+        out, shared_bias, new_cache = self.attention(
             out, mask=mask, context=context, context_mask=context_mask,
-            attention_mask=attention_mask, shared_bias=shared_bias,
+            attention_mask=attention_mask, shared_bias=shared_bias, cache=cache,
         )
         out = out + residual
         if not self.pre_norm:
@@ -85,11 +86,12 @@ class TransformerLayer(nnx.Module):
             out = self.feed_forward_norm(out, adaptive_condition)
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
-        return out, shared_bias
+        return out, shared_bias, new_cache
 
 
 class TransformerOutput(NamedTuple):
     out: jnp.ndarray
+    cache: list | None = None
 
 
 @dataclass
@@ -132,24 +134,30 @@ class Transformer(nnx.Module):
         self.norm = nnx.LayerNorm(cfg.dim, rngs=rngs) if pre_norm else None
 
     def __call__(self, x, mask=None, context=None, context_mask=None,
-                 attention_mask=None, adaptive_condition=None) -> TransformerOutput:
+                 attention_mask=None, adaptive_condition=None,
+                 cache: list | None = None,
+                 return_cache: bool = False) -> TransformerOutput:
         if self.use_abs_pos_emb:
             x = x + fixed_positional_embedding(x.shape[1], self.emb_dim, dtype=x.dtype)
         if self.project_emb is not None:
             x = self.project_emb(x)
 
         shared_bias = None
-        for layer in self.layers:
-            x, shared_bias = layer(
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            x, shared_bias, layer_cache = layer(
                 x, mask=mask, context=context, context_mask=context_mask,
                 attention_mask=attention_mask, adaptive_condition=adaptive_condition,
                 shared_bias=shared_bias,
+                cache=cache[i] if cache is not None else None,
             )
+            if return_cache:
+                new_caches.append(layer_cache)
         if self.norm is not None:
             x = self.norm(x)
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
-        return TransformerOutput(out=x)
+        return TransformerOutput(out=x, cache=new_caches if return_cache else None)
 
 
 def _as_dict(cfg) -> dict:

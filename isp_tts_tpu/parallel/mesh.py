@@ -63,6 +63,69 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# tensor-parallel parameter sharding
+# ---------------------------------------------------------------------------
+
+#: path-regex -> PartitionSpec rules for the transformer stack: feed-forward
+#: inner dim and attention q/out head dim shard over the "model" axis
+#: (Megatron-style column/row splits; XLA inserts the psum at fc2/to_out).
+DEFAULT_TP_RULES: list[tuple[str, P]] = [
+    (r"\.fc1\.kernel$", P(None, "model")),
+    (r"\.fc1\.bias$", P("model")),
+    (r"\.fc2\.kernel$", P("model", None)),
+    (r"\.to_q\.kernel$", P(None, "model")),
+    (r"\.to_out\.kernel$", P("model", None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def shard_params(state, mesh: Mesh, rules: list[tuple[str, P]] | None = None):
+    """Device-put a parameter pytree with TP rules over the "model" axis;
+    everything unmatched (and anything indivisible) is replicated.
+
+    MQA k/v projections stay replicated (single head); q/out and the FF inner
+    dimension shard. With mesh model=1 this is plain replication.
+    """
+    import re
+
+    rules = DEFAULT_TP_RULES if rules is None else rules
+    model_size = mesh.shape.get("model", 1)
+
+    def place(path, leaf):
+        spec = P()
+        name = _path_str(path)
+        if name.endswith(".value"):  # Variable leaf attribute
+            name = name[: -len(".value")]
+        if model_size > 1:
+            for pattern, candidate in rules:
+                if re.search(pattern, name):
+                    spec = candidate
+                    break
+            # verify divisibility; fall back to replication
+            dims = tuple(spec)
+            for axis, p_axis in enumerate(dims):
+                if p_axis == "model" and leaf.shape[axis] % model_size != 0:
+                    spec = P()
+                    break
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
 def process_local_mesh_info() -> tuple[int, int]:
     """(num_processes, process_index) for data-loader sharding."""
     return jax.process_count(), jax.process_index()

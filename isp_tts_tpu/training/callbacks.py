@@ -194,34 +194,54 @@ class EpochReproducibilityCallback(TrainerCallback):
 
 @CALLBACKS.register("tracker")
 class TrackerCallback(TrainerCallback):
-    """Tensorboard scalar/image logging (reference accelerate trackers :565-581)."""
+    """Tensorboard / wandb scalar+image logging
+    (reference accelerate trackers :565-581)."""
 
     def __init__(self, log_dir: str | None = None):
         self.log_dir = log_dir
         self.writer = None
+        self.wandb = None
 
     def on_train_begin(self, config, state, control, **kw):
         if not state.is_main_process:
             return
-        try:
-            from torch.utils.tensorboard import SummaryWriter
+        log_with = tuple(config.log_with or ())
+        if "tensorboard" in log_with or not log_with:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
 
-            self.writer = SummaryWriter(self.log_dir or str(Path(config.output_dir) / "tb"))
-        except ImportError:
-            logger.warning("tensorboard unavailable; tracker disabled")
+                self.writer = SummaryWriter(
+                    self.log_dir or str(Path(config.output_dir) / "tb"))
+            except ImportError:
+                logger.warning("tensorboard unavailable; tracker disabled")
+        if "wandb" in log_with:
+            try:
+                import wandb
+
+                self.wandb = wandb
+                wandb.init(project=config.experiment_name, dir=str(config.output_dir))
+            except ImportError:
+                logger.warning("wandb requested but not installed; skipped")
 
     def on_log(self, config, state, control, logs=None, **kw):
-        if self.writer is None or not logs:
+        if not logs:
             return
-        for key, value in logs.items():
-            if isinstance(value, (int, float)):
+        scalars = {k: v for k, v in logs.items() if isinstance(v, (int, float))}
+        figures = {k: v for k, v in logs.items() if hasattr(v, "canvas")}
+        if self.writer is not None:
+            for key, value in scalars.items():
                 self.writer.add_scalar(key, value, state.global_step)
-            elif hasattr(value, "canvas"):  # matplotlib figure
+            if figures:
                 from ..utils.plotting import figure_to_array
 
-                self.writer.add_image(key, figure_to_array(value),
-                                      state.global_step, dataformats="HWC")
+                for key, fig in figures.items():
+                    self.writer.add_image(key, figure_to_array(fig),
+                                          state.global_step, dataformats="HWC")
+        if self.wandb is not None:
+            self.wandb.log(scalars, step=state.global_step)
 
     def on_train_end(self, config, state, control, **kw):
         if self.writer is not None:
             self.writer.close()
+        if self.wandb is not None:
+            self.wandb.finish()

@@ -153,11 +153,13 @@ class Trainer:
                     "optimizer state mismatch (%d vs %d leaves); reinitialized",
                     structure.num_leaves, len(leaves))
 
-        # replicate model + optimizer state over the mesh (XLA derives the
-        # gradient psum from these shardings + the data-sharded batch)
-        rep = replicate(self.mesh)
-        nnx.update(self.model, jax.device_put(nnx.state(self.model), rep))
-        self.opt_state = jax.device_put(self.opt_state, rep)
+        # place model + optimizer state over the mesh: replicated for pure DP,
+        # TP rules over the "model" axis when mesh_model_axis > 1 (XLA derives
+        # gradient collectives from these shardings + the data-sharded batch)
+        from ..parallel.mesh import shard_params
+
+        nnx.update(self.model, shard_params(nnx.state(self.model), self.mesh))
+        self.opt_state = shard_params(self.opt_state, self.mesh)
 
         self._train_step = None  # built lazily
         self._eval_step = None

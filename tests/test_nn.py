@@ -79,7 +79,7 @@ def test_attention_shapes_mqa_and_mha():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 7, 32), jnp.float32)
     for one_kv in (False, True):
         attn = _make_attention(one_kv_head=one_kv)
-        out, _ = attn(x)
+        out, *_ = attn(x)
         assert out.shape == (2, 7, 32)
 
 
@@ -89,10 +89,10 @@ def test_attention_mask_invariance():
     x = rng.randn(1, 5, 32).astype(np.float32)
     attn = _make_attention(one_kv_head=True, alibi_pos_bias=True, alibi_heads=2)
     attn.eval()
-    out_short, _ = attn(jnp.asarray(x), mask=jnp.ones((1, 5), bool))
+    out_short, *_ = attn(jnp.asarray(x), mask=jnp.ones((1, 5), bool))
     x_pad = np.concatenate([x, rng.randn(1, 3, 32).astype(np.float32)], axis=1)
     mask = jnp.asarray([[True] * 5 + [False] * 3])
-    out_pad, _ = attn(jnp.asarray(x_pad), mask=mask)
+    out_pad, *_ = attn(jnp.asarray(x_pad), mask=mask)
     np.testing.assert_allclose(np.asarray(out_pad)[:, :5], np.asarray(out_short), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(out_pad)[:, 5:], 0)
 
@@ -148,3 +148,60 @@ def test_transformer_abs_pos_only_without_alibi():
     )
     assert mk(False).use_abs_pos_emb
     assert not mk(True).use_abs_pos_emb
+
+
+def test_masked_batch_norm_running_stats():
+    from isp_tts_tpu.nn.norms import MaskedBatchNorm1d
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(4, 10, 3).astype(np.float32) * 2.0 + 1.0
+    x_pad = np.concatenate([x, 1e5 * np.ones((4, 6, 3), np.float32)], axis=1)
+    mask = np.zeros((4, 16), bool)
+    mask[:, :10] = True
+
+    bn = MaskedBatchNorm1d(3)
+    out = np.asarray(bn(jnp.asarray(x_pad), jnp.asarray(mask)))
+    # normalized over valid positions only; padding zeroed
+    valid = out[:, :10].reshape(-1, 3)
+    np.testing.assert_allclose(valid.mean(axis=0), 0.0, atol=1e-3)
+    np.testing.assert_allclose(valid.std(axis=0), 1.0, atol=2e-2)
+    assert out[:, 10:].sum() == 0
+    # running stats moved toward the masked batch stats, not the garbage
+    assert np.abs(np.asarray(bn.mean.value) - 0.1 * x.reshape(-1, 3).mean(0)).max() < 0.05
+
+    # eval mode: uses running averages, no update
+    bn.eval()
+    before = np.asarray(bn.mean.value).copy()
+    bn(jnp.asarray(x_pad), jnp.asarray(mask))
+    np.testing.assert_array_equal(before, np.asarray(bn.mean.value))
+
+
+def test_choose_normalization_factory():
+    from isp_tts_tpu.nn.layers import choose_normalization
+    from isp_tts_tpu.nn.norms import MaskedBatchNorm1d, MaskedInstanceNorm1d
+
+    assert choose_normalization(None) is None
+    assert choose_normalization("batch") is MaskedBatchNorm1d
+    assert choose_normalization("instance") is MaskedInstanceNorm1d
+    import pytest
+
+    with pytest.raises(KeyError):
+        choose_normalization("nope")
+
+
+def test_attention_kv_cache_incremental():
+    """Incremental decoding with a KV cache == full-sequence attention."""
+    attn = _make_attention(causal=True)
+    attn.eval()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 6, 32), jnp.float32)
+
+    full, _, _ = attn(x)
+
+    cache = None
+    outs = []
+    for t in range(6):
+        out_t, _, cache = attn(x[:, t:t + 1], cache=cache)
+        outs.append(out_t)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(full), atol=1e-5)
