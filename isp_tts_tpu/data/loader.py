@@ -15,9 +15,10 @@ from typing import Callable, Iterator, Sequence
 class DataLoader:
     def __init__(self, dataset: Sequence, collate_fn: Callable, batch_size: int,
                  shuffle: bool = False, drop_last: bool = True, seed: int = 0,
-                 num_shards: int = 1, shard_index: int = 0):
+                 num_shards: int = 1, shard_index: int = 0, prefetch: int = 2):
         if batch_size % num_shards != 0:
             raise ValueError("batch_size must divide evenly across processes")
+        self.prefetch = prefetch
         self.dataset = dataset
         self.collate_fn = collate_fn
         self.batch_size = batch_size
@@ -38,7 +39,7 @@ class DataLoader:
             n += 1
         return max(n, 0)
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batches(self) -> Iterator[dict]:
         order = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
@@ -48,3 +49,32 @@ class DataLoader:
                 break
             local = idxs[self.shard_index::self.num_shards]
             yield self.collate_fn([self.dataset[i] for i in local])
+
+    def __iter__(self) -> Iterator[dict]:
+        if not self.prefetch:
+            yield from self._batches()
+            return
+        # background-thread prefetch: overlap host feature extraction /
+        # collation with device steps (the Accelerate-dataloader-worker
+        # equivalent; thread-based since samples are numpy + stdlib IO)
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        thread.join()

@@ -74,6 +74,19 @@ class TTSMeta:
                 parts = [getattr(r, field) or "" for field in self.fields]
                 f.write(delimiter.join(str(p) for p in parts) + "\n")
 
+    def split(self, ratio: float = 0.1, seed: int = 42) -> tuple["TTSMeta", "TTSMeta"]:
+        """(train, valid) split — the reference training notebook's helper
+        (training.ipynb cell 9: seed 42, ratio 0.1)."""
+        import random
+
+        order = list(range(len(self.records)))
+        random.Random(seed).shuffle(order)
+        n_valid = max(int(len(order) * ratio), 1)
+        valid_idx = set(order[:n_valid])
+        train = [r for i, r in enumerate(self.records) if i not in valid_idx]
+        valid = [r for i, r in enumerate(self.records) if i in valid_idx]
+        return TTSMeta(train, self.fields), TTSMeta(valid, self.fields)
+
     def filter_length(self, min_len: int = 0, max_len: int | None = None) -> "TTSMeta":
         """Keep records whose text char count lies in [min_len, max_len]."""
         kept = [r for r in self.records

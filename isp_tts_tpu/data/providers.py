@@ -34,9 +34,26 @@ from .text.table import CodingTable
 
 
 def _maybe_load(source):
-    if isinstance(source, (str, Path)) and str(source).endswith(".npy"):
-        return np.load(str(source))
+    """Precomputed-feature loading (.npy, or torch .tensor when torch is
+    available) — parity: reference `tts/data/functions.py:8-16`."""
+    if isinstance(source, (str, Path)):
+        if str(source).endswith(".npy"):
+            return np.load(str(source))
+        if str(source).endswith(".tensor"):
+            import torch
+
+            return torch.load(str(source), map_location="cpu",
+                              weights_only=True).numpy()
     return None
+
+
+def _cpu():
+    """Host-side providers compute on the CPU backend: per-utterance feature
+    extraction must not round-trip the accelerator (the batched on-device
+    path is the jittable ops themselves)."""
+    import jax
+
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
 
 
 @dataclass
@@ -79,8 +96,10 @@ class SpectrogramProvider:
         if pre is not None:
             return pre
         c = self.config
-        spec = stft_magnitude(jnp.asarray(source), c.n_fft, c.hop_length, c.win_length, c.pad)
-        return np.asarray(spec)  # (n_freqs, frames)
+        with _cpu():
+            spec = stft_magnitude(jnp.asarray(source), c.n_fft, c.hop_length,
+                                  c.win_length, c.pad)
+            return np.asarray(spec)  # (n_freqs, frames)
 
 
 @dataclass
@@ -130,9 +149,11 @@ class MelSpecProvider:
 
     def __call__(self, audio) -> np.ndarray:
         c = self.config
-        mel = log_mel_spectrogram(jnp.asarray(audio), c.sample_rate, c.n_fft,
-                                  c.hop_length, c.win_length, c.n_mels, c.f_min, c.f_max)
-        return np.asarray(mel)
+        with _cpu():
+            mel = log_mel_spectrogram(jnp.asarray(audio), c.sample_rate, c.n_fft,
+                                      c.hop_length, c.win_length, c.n_mels,
+                                      c.f_min, c.f_max)
+            return np.asarray(mel)
 
 
 class EnergyProvider:
@@ -142,7 +163,8 @@ class EnergyProvider:
         pre = _maybe_load(source)
         if pre is not None:
             return pre
-        return np.asarray(frame_energy(jnp.asarray(source)))
+        with _cpu():
+            return np.asarray(frame_energy(jnp.asarray(source)))
 
 
 @dataclass
@@ -178,10 +200,11 @@ class PitchProvider:
             pitch = pre
         elif c.method in ("yin", "torch-yin"):
             audio = np.pad(np.asarray(source), (self.pad, self.pad))
-            pitch = np.asarray(yin_pitch(
-                jnp.asarray(audio), c.sample_rate, self.f_min, c.f_max,
-                c.hop_length, c.threshold,
-            ))
+            with _cpu():
+                pitch = np.asarray(yin_pitch(
+                    jnp.asarray(audio), c.sample_rate, self.f_min, c.f_max,
+                    c.hop_length, c.threshold,
+                ))
         elif c.method == "penn":
             try:
                 import penn  # optional neural pitch estimator

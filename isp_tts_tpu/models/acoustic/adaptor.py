@@ -191,10 +191,12 @@ class FlowTransformerTemporalModule(nnx.Module):
         return self.linear(out)
 
     def __call__(self, x: jnp.ndarray, targets: jnp.ndarray,
-                 mask: jnp.ndarray | None = None):
+                 mask: jnp.ndarray | None = None,
+                 key: jax.Array | None = None):
         """Training: sample t ~ U(0,1), predict the OT-CFM flow, masked MSE.
 
-        Returns (x_pred, {"flow_loss": loss}).
+        ``key`` overrides the module RNG streams (deterministic training /
+        functional benchmarking). Returns (x_pred, {"flow_loss": loss}).
         """
         cond = jax.lax.stop_gradient(x) if self.detach_inputs else x
         B, T, _ = x.shape
@@ -202,8 +204,11 @@ class FlowTransformerTemporalModule(nnx.Module):
             mask = jnp.ones((B, T), dtype=bool)
 
         x1 = jax.lax.stop_gradient(targets)
-        noise_key = self.rngs.noise()
-        time_key = self.rngs.time()
+        if key is not None:
+            noise_key, time_key = jax.random.split(key)
+        else:
+            noise_key = self.rngs.noise()
+            time_key = self.rngs.time()
         x0 = jax.random.normal(noise_key, x1.shape, dtype=x1.dtype)
         t = jax.random.uniform(time_key, (B,), dtype=x1.dtype)
         t_emb = self.time_embedding(t)
@@ -317,7 +322,8 @@ class FlowTemporalAdaptor(nnx.Module):
                  max_dec_len: int, duration_target: jnp.ndarray,
                  alignment: jnp.ndarray | None = None,
                  pitch_target_dense: jnp.ndarray | None = None,
-                 energy_target_dense: jnp.ndarray | None = None) -> TemporalAdaptorOutput:
+                 energy_target_dense: jnp.ndarray | None = None,
+                 key: jax.Array | None = None) -> TemporalAdaptorOutput:
         """Training forward.
 
         Args:
@@ -343,7 +349,7 @@ class FlowTemporalAdaptor(nnx.Module):
             feats.append(energy_target[..., None])
         target_features = jnp.concatenate(feats, axis=-1)
 
-        pred, losses = self.predictor(enc_out, target_features, enc_mask)
+        pred, losses = self.predictor(enc_out, target_features, enc_mask, key=key)
 
         log_duration_pred = pred[..., 0]
         duration_pred = jnp.clip(jnp.exp(log_duration_pred) - 1.0, 0.0, None)

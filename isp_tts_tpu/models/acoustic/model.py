@@ -112,7 +112,8 @@ class AcousticModel(Model):
     def __call__(self, text: jnp.ndarray, text_len: jnp.ndarray, mel: jnp.ndarray,
                  mel_len: jnp.ndarray, pitch: jnp.ndarray | None = None,
                  energy: jnp.ndarray | None = None,
-                 speaker: jnp.ndarray | None = None) -> AcousticModelOutput:
+                 speaker: jnp.ndarray | None = None,
+                 key: jax.Array | None = None) -> AcousticModelOutput:
         """Training forward.
 
         Args:
@@ -145,6 +146,7 @@ class AcousticModel(Model):
             alignment=aligner_output.attn_soft,
             pitch_target_dense=pitch,
             energy_target_dense=energy,
+            key=key,
         )
 
         dec_mask = get_mask_from_lengths(adaptor_output.dec_lengths, M)

@@ -447,8 +447,8 @@ class Trainer:
             f"{CHECKPOINT_PREFIX}_e{int(self.state.epoch)}.ckpt"
         if cfg.save_rewrite_checkpoint and self.state.last_model_checkpoint:
             prev = Path(self.state.last_model_checkpoint)
-            if prev.exists() and prev.name.startswith(CHECKPOINT_PREFIX + "_s") or \
-                    prev.name.startswith(CHECKPOINT_PREFIX + "_e"):
+            if prev.exists() and (prev.name.startswith(CHECKPOINT_PREFIX + "_s")
+                                  or prev.name.startswith(CHECKPOINT_PREFIX + "_e")):
                 prev.unlink(missing_ok=True)
         self._save_checkpoint(name)
 

@@ -141,3 +141,27 @@ def test_dataloader_sharding(toy_dataset):
     b0, b1 = next(iter(dl0)), next(iter(dl1))
     assert b0["mel"].shape[0] == 2 and b1["mel"].shape[0] == 2
     assert set(b0["filename"]).isdisjoint(b1["filename"])
+
+
+def test_meta_split():
+    from isp_tts_tpu.data.metadata import MetaRecord, TTSMeta
+
+    meta = TTSMeta([MetaRecord(f"wavs/u{i}.wav", f"text {i}") for i in range(20)])
+    train, valid = meta.split(ratio=0.1, seed=42)
+    assert len(valid) == 2 and len(train) == 18
+    # deterministic
+    train2, valid2 = meta.split(ratio=0.1, seed=42)
+    assert [r.audio_path for r in valid] == [r.audio_path for r in valid2]
+    # disjoint
+    assert {r.audio_path for r in train}.isdisjoint({r.audio_path for r in valid})
+
+
+def test_dataloader_prefetch_matches_sync(toy_dataset):
+    ds = _dataset(toy_dataset)
+    coll = AcousticCollator()
+    sync = list(DataLoader(ds, coll, batch_size=2, shuffle=True, seed=3, prefetch=0))
+    pre = list(DataLoader(ds, coll, batch_size=2, shuffle=True, seed=3, prefetch=2))
+    assert len(sync) == len(pre) == 3
+    for a, b in zip(sync, pre):
+        assert a["filename"] == b["filename"]
+        np.testing.assert_array_equal(a["text_vector"], b["text_vector"])
