@@ -91,9 +91,13 @@ def main(argv=None):
     else:
         from .ops.vocoder import mel_to_audio
 
-        audio = np.asarray(mel_to_audio(
-            mel[0], sample_rate=args.sample_rate,
-            n_iter=args.griffin_lim_iters))
+        # Griffin-Lim uses complex FFT phase math; run it on the CPU backend
+        # (some TPU runtimes lack complex support, and vocoding-at-the-edge is
+        # a host-side utility — neural vocoders slot in via --vocoder)
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            audio = np.asarray(mel_to_audio(
+                jnp.asarray(np.asarray(mel[0])), sample_rate=args.sample_rate,
+                n_iter=args.griffin_lim_iters))
         audio = np.clip(audio / max(np.abs(audio).max(), 1e-6) * 0.95, -1, 1)
     log.info("vocoder: %.2fs of audio in %.3fs",
              len(audio) / args.sample_rate, time.perf_counter() - t0)

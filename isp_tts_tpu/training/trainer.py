@@ -28,7 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-from flax import nnx, serialization
+from flax import nnx
 
 from ..data.loader import DataLoader
 from ..parallel.mesh import make_mesh, replicate, shard_batch
