@@ -10,6 +10,7 @@ from .audio import (
 )
 from .pitch import yin_pitch
 from .mas import monotonic_alignment_search, mas_numpy
+from .frontend import FrontendConfig, FrontendFeatures, extract_features, bucket_audio
 
 __all__ = [
     "hann_window",
@@ -23,4 +24,8 @@ __all__ = [
     "yin_pitch",
     "monotonic_alignment_search",
     "mas_numpy",
+    "FrontendConfig",
+    "FrontendFeatures",
+    "extract_features",
+    "bucket_audio",
 ]

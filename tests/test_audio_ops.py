@@ -142,3 +142,37 @@ def test_yin_batched():
     assert p.shape[0] == 2
     assert abs(np.median(p[0][p[0] > 0]) - 220.0) < 8
     assert abs(np.median(p[1][p[1] > 0]) - 330.0) < 10
+
+
+def test_batched_frontend_matches_per_sample_providers():
+    """One jitted batch pipeline == per-utterance provider outputs."""
+    from isp_tts_tpu.ops.frontend import FrontendConfig, bucket_audio, extract_features
+
+    rng = np.random.RandomState(0)
+    auds = [_sine(150.0 + 40 * i, 5000 + 1100 * i) + 0.01 * rng.randn(5000 + 1100 * i).astype(np.float32)
+            for i in range(3)]
+    batch, lens = bucket_audio(auds, multiple=4096)
+    feats = extract_features(jnp.asarray(batch), jnp.asarray(lens), FrontendConfig())
+
+    from isp_tts_tpu.data import providers as dp
+
+    spec_p = dp.SpectrogramProvider(dp.SpectrogramProviderConfig())
+    mel_p = dp.MelScaleProvider(dp.MelScaleProviderConfig(sample_rate=SR))
+    en_p = dp.EnergyProvider()
+    pitch_p = dp.PitchProvider(dp.PitchProviderConfig(sample_rate=SR))
+
+    for i, aud in enumerate(auds):
+        n = int(feats.mel_lens[i])
+        spec = spec_p(aud)
+        assert n == spec.shape[1]
+        mel_ref = mel_p(spec).T  # (frames, n_mels)
+        np.testing.assert_allclose(np.asarray(feats.mel[i, :n]), mel_ref,
+                                   atol=2e-3)
+        np.testing.assert_allclose(np.asarray(feats.energy[i, :n]), en_p(spec),
+                                   rtol=1e-3, atol=1e-3)
+        pitch_ref = np.pad(pitch_p(aud), (0, max(0, n - len(pitch_p(aud)))))[:n]
+        voiced = pitch_ref > 0
+        np.testing.assert_allclose(np.asarray(feats.pitch[i, :n])[voiced],
+                                   pitch_ref[voiced], rtol=1e-3, atol=1e-2)
+    # padding frames are zeroed
+    assert float(jnp.abs(feats.mel[0, int(feats.mel_lens[0]):]).max()) == 0.0
