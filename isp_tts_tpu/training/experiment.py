@@ -91,6 +91,10 @@ class ExperimentModules:
 
     def init_modules(self) -> "ExperimentModules":
         trainer_cfg = self.build_trainer_config()
+        if trainer_cfg.fast_rng:
+            import jax
+
+            jax.config.update("jax_default_prng_impl", "rbg")
         self.train_dataset = self.build_dataset("train")
         self.eval_dataset = self.build_dataset("eval")
         self.collator = self.build_collator()

@@ -161,8 +161,7 @@ class Trainer:
         nnx.update(self.model, shard_params(nnx.state(self.model), self.mesh))
         self.opt_state = shard_params(self.opt_state, self.mesh)
 
-        self._train_step = None  # built lazily
-        self._eval_step = None
+        self._steps_built = False
 
         if config.debug_nans:
             jax.config.update("jax_debug_nans", True)
@@ -219,7 +218,7 @@ class Trainer:
         self._train_step_fn = train_step
         self._eval_step_fn = eval_step
         self._cached_mode = None
-        self._train_step = True  # marker: steps built
+        self._steps_built = True
 
     def _step_for_mode(self, mode: str):
         """nnx.jit traversal of a 23M-param module costs ~40ms/call; cache the
@@ -253,7 +252,7 @@ class Trainer:
         cfg = self.config
         if self.train_loader is None:
             raise ValueError("no train dataset")
-        if self._train_step is None:
+        if not self._steps_built:
             self._build_steps()
 
         steps_per_epoch = max(len(self.train_loader) // cfg.optimization.grad_accum_steps, 1)
@@ -389,7 +388,9 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def evaluate(self) -> dict:
-        if self._eval_step is None:
+        if self.eval_loader is None:
+            raise ValueError("evaluate() called without an eval dataset")
+        if not self._steps_built:
             self._build_steps()
         self._last_eval_batch = None
         was_train = self.control.is_train

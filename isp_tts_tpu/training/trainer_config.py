@@ -85,6 +85,11 @@ class TrainerConfig:
     profile_steps: tuple | None = None  # (start_step, end_step) jax.profiler trace
     debug_nans: bool = False  # jax.config.jax_debug_nans opt-in
 
+    # numerics / speed
+    fast_rng: bool = True  # 'rbg' PRNG: ~25% faster steps w/ dropout on TPU
+    #   (threefry per-element bit generation is the default but slow on TPU;
+    #   rbg is sharding-stable; set False for cross-version key stability)
+
     def __post_init__(self):
         if self.eval_batch_size is None:
             self.eval_batch_size = self.batch_size
