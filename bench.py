@@ -58,6 +58,18 @@ def build_model():
 
 
 def main():
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — always emit the contract line
+        print(f"bench fallback ({type(e).__name__}: {e})", file=sys.stderr)
+        print(json.dumps({
+            "metric": "mel_synthesis_xrt_b32", "value": 0.0,
+            "unit": "x_realtime", "vs_baseline": 0.0,
+        }))
+        raise SystemExit(1)
+
+
+def _run():
     from flax import nnx
 
     model = build_model()

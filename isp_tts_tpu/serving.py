@@ -1,0 +1,126 @@
+"""Serving API: bucketed, pre-compilable text -> mel synthesis.
+
+Production wrapper over ``AcousticModel.infer``: XLA compiles one executable
+per (text-bucket, frame-budget) shape, so the ``Synthesizer`` rounds inputs
+up to configured buckets, caches the jitted executables (optionally warming
+them all at startup), and serves single utterances or batches with static
+shapes — the TPU-native equivalent of the reference's notebook serve path
+(inference.ipynb cells 23-25), designed for steady-state latency.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+logger = logging.getLogger("isp_tts_tpu")
+
+
+@dataclass
+class SynthesizerConfig:
+    text_buckets: tuple = (32, 64, 128, 256)
+    frame_budgets: tuple = (256, 512, 1024, 2048)
+    frames_per_token: float = 12.0  # frame-budget heuristic before durations
+    steps: int = 4
+    charset: tuple = ("<pad>", "</s>", "#punct", "#en")
+    phonemizer: bool = False
+    language: str = "en-us"
+    extra_controls: dict = field(default_factory=dict)
+
+
+class Synthesizer:
+    def __init__(self, model, config: SynthesizerConfig | None = None):
+        self.model = model
+        self.config = config or SynthesizerConfig()
+        model.eval()
+        self._graphdef, self._state = nnx.split(model)
+        self._compiled: dict[tuple, callable] = {}
+
+        from .data.providers import TextProvider, TextProviderConfig
+
+        self.text_provider = TextProvider(TextProviderConfig(
+            charset=list(self.config.charset),
+            phonemizer=self.config.phonemizer,
+            language=self.config.language,
+        ))
+
+    @classmethod
+    def from_pretrained(cls, path, config: SynthesizerConfig | None = None):
+        from .models import AcousticModel
+
+        return cls(AcousticModel.from_pretrained(path), config)
+
+    # -- shape bucketing -----------------------------------------------------
+
+    def _bucket(self, n: int, buckets: tuple) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"input of length {n} exceeds the largest bucket {buckets[-1]}")
+
+    def _executable(self, text_bucket: int, frame_budget: int, batch: int):
+        key = (text_bucket, frame_budget, batch)
+        fn = self._compiled.get(key)
+        if fn is None:
+            steps = self.config.steps
+            graphdef = self._graphdef
+
+            @jax.jit
+            def synth(state, tokens, lens, key, duration_factor, pitch_factor,
+                      pitch_delta):
+                m = nnx.merge(graphdef, state)
+                mel, ad = m.infer(
+                    tokens, text_lengths=lens, max_dec_len=frame_budget,
+                    steps=steps, key=key, duration_factor=duration_factor,
+                    pitch_factor=pitch_factor, pitch_delta=pitch_delta,
+                    **self.config.extra_controls)
+                return mel, ad.dec_lengths
+
+            self._compiled[key] = fn = synth
+        return fn
+
+    def warmup(self, batch_sizes: tuple = (1,)) -> None:
+        """Pre-compile every (bucket, budget, batch) executable."""
+        for b in batch_sizes:
+            for tb in self.config.text_buckets:
+                for fb in self.config.frame_budgets:
+                    tokens = jnp.zeros((b, tb), jnp.int32)
+                    lens = jnp.full((b,), tb, jnp.int32)
+                    self._executable(tb, fb, b)(
+                        self._state, tokens, lens, jax.random.PRNGKey(0),
+                        1.0, 1.0, 0.0)
+        logger.info("synthesizer warm: %d executables", len(self._compiled))
+
+    # -- serving -------------------------------------------------------------
+
+    def __call__(self, text: str | list[str], seed: int = 0,
+                 duration_factor: float = 1.0, pitch_factor: float = 1.0,
+                 pitch_delta: float = 0.0) -> list[np.ndarray]:
+        """Synthesize mel(s); returns a list of (frames, n_mels) arrays."""
+        texts = [text] if isinstance(text, str) else list(text)
+        encoded = [self.text_provider(t) for t in texts]
+        max_len = max(e.vector_len for e in encoded)
+        tb = self._bucket(max_len, self.config.text_buckets)
+        fb = self._bucket(int(max_len * self.config.frames_per_token),
+                          self.config.frame_budgets)
+
+        B = len(texts)
+        tokens = np.zeros((B, tb), np.int32)
+        lens = np.zeros((B,), np.int32)
+        for i, e in enumerate(encoded):
+            tokens[i, : e.vector_len] = e.vector
+            lens[i] = e.vector_len
+
+        fn = self._executable(tb, fb, B)
+        mel, dec_lens = fn(self._state, jnp.asarray(tokens), jnp.asarray(lens),
+                           jax.random.PRNGKey(seed),
+                           float(duration_factor), float(pitch_factor),
+                           float(pitch_delta))
+        mel = np.asarray(mel)
+        dec_lens = np.asarray(dec_lens)
+        return [mel[i, : int(dec_lens[i])] for i in range(B)]
