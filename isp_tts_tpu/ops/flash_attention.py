@@ -162,6 +162,10 @@ def _pad_q(x, block_q):
     return x, n
 
 
+#: set True (tests) to run the kernels in Pallas interpreter mode on CPU
+INTERPRET = False
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def flash_attention(q, k, v, slopes, key_lens, scale, offset=0,
                     block_q=DEF_BLOCK_Q):
@@ -216,6 +220,7 @@ def _flash_fwd(q, k, v, slopes, key_lens, scale, offset, block_q):
             jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, 1, Np), jnp.float32),
         ],
+        interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32), qp, k, v)
     out = out[:, :, :n_orig]
     lse = lse[:, :, 0, :n_orig]
@@ -279,6 +284,7 @@ def _flash_bwd(scale, offset, block_q, res, g):
             jax.ShapeDtypeStruct((B, H, n_q_blocks * 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, H, n_q_blocks * 8, 128), jnp.float32),
         ],
+        interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
       qp, k, v, gp, lse_p, delta_p)
     dq = dq[:, :, :n_orig]
@@ -329,6 +335,7 @@ def _flash_bwd(scale, offset, block_q, res, g):
             jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
             jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
         ],
+        interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
       qp, kp, vp, gp, lse_masked, delta_p)
     dk_h = dk_h[:, :, :M]

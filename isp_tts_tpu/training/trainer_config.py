@@ -89,6 +89,9 @@ class TrainerConfig:
     fast_rng: bool = True  # 'rbg' PRNG: ~25% faster steps w/ dropout on TPU
     #   (threefry per-element bit generation is the default but slow on TPU;
     #   rbg is sharding-stable; set False for cross-version key stability)
+    compilation_cache: str | None = "~/.cache/isp_tts_tpu/xla"
+    #   persistent XLA compilation cache: first full-model compile is ~70s on
+    #   a v5e; restarts and repeated bucket shapes hit the disk cache
 
     def __post_init__(self):
         if self.eval_batch_size is None:

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-pytestmark = pytest.mark.skipif(
+requires_tpu = pytest.mark.skipif(
     jax.default_backend() == "cpu",
     reason="Pallas flash attention requires a TPU backend",
 )
@@ -27,6 +27,7 @@ def _ref_attn(q, k, v, slopes2, key_lens, scale, offset=0):
     return scaled_dot_product_attention(q, k, v, scale=scale, bias=bias[None], mask=mask)
 
 
+@requires_tpu
 @pytest.mark.parametrize("hkv", [1, 6])
 def test_flash_matches_reference_with_grads(hkv):
     from isp_tts_tpu.nn.embeddings import alibi_slopes
@@ -57,3 +58,31 @@ def test_flash_matches_reference_with_grads(hkv):
     for name, a, b in zip(("dq", "dk", "dv", "dslopes"), gf, gr):
         rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
         assert rel < 2e-2, f"{name} rel err {rel}"
+
+
+def test_flash_interpret_mode_on_cpu():
+    """Kernel logic validated on CPU via the Pallas interpreter."""
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode check is the CPU-side variant")
+    rng = np.random.RandomState(1)
+    B, H, N, D = 1, 2, 128, 64
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, 1, N, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, 1, N, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl])
+    key_lens = jnp.asarray([N - 17], jnp.int32)
+
+    fa.INTERPRET = True
+    try:
+        out_f = fa.flash_attention(q, k, v, slopes2, key_lens, D ** -0.5)
+        g = jax.grad(lambda q: jnp.sum(
+            fa.flash_attention(q, k, v, slopes2, key_lens, D ** -0.5) ** 2))(q)
+    finally:
+        fa.INTERPRET = False
+    out_r = _ref_attn(q, k, v, slopes2, key_lens, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-5)
+    assert np.isfinite(np.asarray(g)).all()
