@@ -297,6 +297,8 @@ class Trainer:
         epoch_acc = Accumulator()
         step_acc = Accumulator()
         self.state.epoch_step = 0
+        if not hasattr(self, "_micro_step"):
+            self._micro_step = 0
 
         data_t0 = time.perf_counter()
         for host_batch in loader:
@@ -334,11 +336,18 @@ class Trainer:
             epoch_acc.add(metrics)
 
             if is_train:
-                self.state.global_step += 1
+                self._micro_step += 1
                 self.state.epoch_step += 1
-                self._maybe_profile()
-                self.callbacks.on_step_end(cfg, self.state, self.control)
-                self._maybe_log_save_evaluate(step_acc)
+                if self._micro_step % cfg.optimization.grad_accum_steps == 0:
+                    # global_step counts OPTIMIZER steps (grad-accum-aware,
+                    # reference trainer.py:563); micro-batches in between
+                    # only fire on_substep_end
+                    self.state.global_step += 1
+                    self._maybe_profile()
+                    self.callbacks.on_step_end(cfg, self.state, self.control)
+                    self._maybe_log_save_evaluate(step_acc)
+                else:
+                    self.callbacks.on_substep_end(cfg, self.state, self.control)
             else:
                 self.state.epoch_step += 1
                 if cfg.eval_batches and self.state.epoch_step >= cfg.eval_batches:

@@ -155,3 +155,21 @@ def test_from_pretrained_of_trainer_checkpoint(toy_root, tmp_path):
     mel, ad = model.infer(jnp.asarray([[2, 3, 4, 1]], jnp.int32), max_dec_len=32, steps=2)
     assert mel.shape == (1, 32, 80)
     assert np.isfinite(np.asarray(mel)).all()
+
+
+def test_grad_accumulation_step_accounting(toy_root, tmp_path):
+    """global_step counts optimizer steps: 8 samples / batch 4 / accum 2
+    -> 2 micro-batches -> 1 optimizer step per epoch."""
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    overrides = _overrides(toy_root, tmp_path, epochs=2)
+    overrides["trainer"]["batch_size"] = 4
+    overrides["trainer"]["num_devices"] = 4  # batch must divide the data axis
+    overrides["trainer"]["optimization"] = {"learning_rate": 1e-4,
+                                            "grad_accum_steps": 2}
+    modules = ExperimentModules("acoustic/core", "recipes", overrides=overrides)
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    trainer.train()
+    assert trainer.state.global_step == 2  # one optimizer step per epoch
+    assert trainer._micro_step == 4  # two micro-batches per epoch
