@@ -45,8 +45,13 @@ class DataLoader:
             random.Random(self.seed + self.epoch).shuffle(order)
         for start in range(0, len(order), self.batch_size):
             idxs = order[start:start + self.batch_size]
-            if len(idxs) < self.batch_size and self.drop_last:
-                break
+            if len(idxs) < self.batch_size:
+                if self.drop_last:
+                    break
+                # pad the final batch by cycling so every process shard gets
+                # the same local batch size (globally-consistent SPMD shapes)
+                pad_to = -(-len(idxs) // self.num_shards) * self.num_shards
+                idxs = idxs + [idxs[i % len(idxs)] for i in range(pad_to - len(idxs))]
             local = idxs[self.shard_index::self.num_shards]
             yield self.collate_fn([self.dataset[i] for i in local])
 
@@ -62,19 +67,37 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        abandoned = threading.Event()
 
         def producer():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    while not abandoned.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if abandoned.is_set():
+                        return
             finally:
-                q.put(sentinel)
+                while not abandoned.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                yield item
+        finally:
+            # consumer may abandon mid-epoch (eval_batches cap, early stop):
+            # unblock and reap the producer instead of leaking it
+            abandoned.set()
+            thread.join()

@@ -78,6 +78,21 @@ class CodingTable:
         return "".join(self.decode(int(i)) for i in vector)
 
     @classmethod
+    def from_encoding_map(cls, encoding_map: dict) -> "CodingTable":
+        """Rebuild a table from a checkpoint's embedded ``encoding_map``
+        (symbol -> id). The stored ids are authoritative — they index the
+        text-embedding rows — so the maps are installed verbatim."""
+        symbols = [s for s, _ in sorted(encoding_map.items(), key=lambda kv: kv[1])]
+        pad = sym.PAD if sym.PAD in encoding_map else None
+        eos = sym.EOS if sym.EOS in encoding_map else None
+        table = cls(vocab=tuple(s for s in symbols if s not in (pad, eos)),
+                    pad=pad, eos=eos)
+        table.encoding_map = OrderedDict(
+            (s, int(i)) for s, i in sorted(encoding_map.items(), key=lambda kv: kv[1]))
+        table.decoding_map = OrderedDict((i, s) for s, i in table.encoding_map.items())
+        return table
+
+    @classmethod
     def from_charset(cls, charset: str | Sequence[str]) -> "CodingTable":
         if isinstance(charset, str):
             charset = [charset]

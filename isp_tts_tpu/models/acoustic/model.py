@@ -172,6 +172,8 @@ class AcousticModel(Model):
               pitch_delta: float = 0.0,
               pitch_normalize: bool = False,
               energy_target: jnp.ndarray | None = None,
+              energy_factor: float = 1.0,
+              energy_delta: float = 0.0,
               steps: int = 4,
               speaker: jnp.ndarray | None = None,
               key: jax.Array | None = None):
@@ -206,6 +208,8 @@ class AcousticModel(Model):
             pitch_factor=pitch_factor,
             pitch_delta=pitch_delta,
             energy_target=energy_target,
+            energy_factor=energy_factor,
+            energy_delta=energy_delta,
             steps=steps,
             key=key,
         )

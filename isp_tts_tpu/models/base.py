@@ -83,10 +83,13 @@ class Model(nnx.Module):
             self.frozen_prefixes = ["*"] + [str(p) for p in exception_list]
 
     def is_trainable(self, path: str) -> bool:
+        """Prefix-matched, like the reference (base.py:70) — substring
+        matching would over-unfreeze (e.g. 'embedding' hitting
+        'temporal_adaptor.embedding')."""
         if not self.frozen_prefixes:
             return True
         exceptions = self.frozen_prefixes[1:]
-        return any(path.startswith(e) or e in path for e in exceptions)
+        return any(path.startswith(e) for e in exceptions)
 
     # -- state io ------------------------------------------------------------
 

@@ -83,9 +83,13 @@ class LearnedALiBiBias(nnx.Module):
         if self.symmetric:
             bias = slopes * dist[None]
         else:
-            lower = jnp.tril(dist)
-            upper = jnp.triu(dist)
-            bias = slopes[0] * lower[None] + slopes[1] * upper[None]
+            # split at the OFFSET diagonal (k position <= q position), so the
+            # einsum path agrees with the flash kernel when n_k != n_q
+            i = jnp.arange(n_q)[:, None]
+            j = jnp.arange(n_k)[None, :]
+            lower = j <= i + offset
+            bias = jnp.where(lower[None], slopes[0] * dist[None],
+                             slopes[1] * dist[None])
         if self.total_heads > self.heads:
             pad = jnp.zeros((self.total_heads - self.heads, n_q, n_k), bias.dtype)
             bias = jnp.concatenate([bias, pad], axis=0)

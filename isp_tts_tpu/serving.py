@@ -27,7 +27,7 @@ class SynthesizerConfig:
     frame_budgets: tuple = (256, 512, 1024, 2048)
     frames_per_token: float = 12.0  # frame-budget heuristic before durations
     steps: int = 4
-    charset: tuple = ("<pad>", "</s>", "#punct", "#en")
+    charset: tuple | None = None  # None = the checkpoint's own encoding_map
     phonemizer: bool = False
     language: str = "en-us"
     extra_controls: dict = field(default_factory=dict)
@@ -42,12 +42,29 @@ class Synthesizer:
         self._compiled: dict[tuple, callable] = {}
 
         from .data.providers import TextProvider, TextProviderConfig
+        from .data.text.table import CodingTable
 
-        self.text_provider = TextProvider(TextProviderConfig(
-            charset=list(self.config.charset),
-            phonemizer=self.config.phonemizer,
-            language=self.config.language,
-        ))
+        if self.config.charset is not None:
+            self.text_provider = TextProvider(TextProviderConfig(
+                charset=list(self.config.charset),
+                phonemizer=self.config.phonemizer,
+                language=self.config.language,
+            ))
+            served = self.text_provider.coding_table.encoding_map
+            trained = getattr(model, "encoding_map", None)
+            if trained is not None and dict(served) != dict(trained):
+                raise ValueError(
+                    "Synthesizer charset disagrees with the checkpoint's "
+                    "encoding_map — tokens would hit wrong embeddings. Pass "
+                    "charset=None to use the checkpoint's own table.")
+        else:
+            # authoritative: the coding table embedded in the checkpoint
+            self.text_provider = TextProvider(TextProviderConfig(
+                charset=["<pad>"], phonemizer=self.config.phonemizer,
+                language=self.config.language,
+            ))
+            self.text_provider.coding_table = CodingTable.from_encoding_map(
+                model.encoding_map)
 
     @classmethod
     def from_pretrained(cls, path, config: SynthesizerConfig | None = None):
@@ -106,8 +123,11 @@ class Synthesizer:
         encoded = [self.text_provider(t) for t in texts]
         max_len = max(e.vector_len for e in encoded)
         tb = self._bucket(max_len, self.config.text_buckets)
-        fb = self._bucket(int(max_len * self.config.frames_per_token),
-                          self.config.frame_budgets)
+        # the frame budget must scale with slowed-down speech or the adaptor
+        # silently clips dec_lengths at the bucket
+        est_frames = int(max_len * self.config.frames_per_token
+                         * max(duration_factor, 1.0))
+        fb = self._bucket(est_frames, self.config.frame_budgets)
 
         B = len(texts)
         tokens = np.zeros((B, tb), np.int32)

@@ -72,6 +72,7 @@ def main(argv=None):
         duration_factor=args.duration_factor,
         pitch_factor=args.pitch_factor,
         pitch_delta=args.pitch_delta,
+        energy_factor=args.energy_factor,
         speaker=speaker,
         key=jax.random.PRNGKey(args.seed),
     )

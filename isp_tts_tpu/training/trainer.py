@@ -56,25 +56,30 @@ TRAINER_STATE_FILE = "trainer_state.json"
 
 
 class Accumulator:
-    """Running means of scalar metrics (reference trainer_utils.py:15-64)."""
+    """Running means of scalar metrics (reference trainer_utils.py:15-64).
+
+    Values are kept as-is (device scalars included) and only materialized in
+    ``means()`` — converting per step would force a device sync per batch and
+    defeat JAX async dispatch.
+    """
 
     def __init__(self):
-        self.sums: dict[str, float] = {}
-        self.counts: dict[str, int] = {}
+        self.values: dict[str, list] = {}
 
     def add(self, metrics: dict) -> None:
         for k, v in metrics.items():
-            v = float(v)
-            if np.isfinite(v):
-                self.sums[k] = self.sums.get(k, 0.0) + v
-                self.counts[k] = self.counts.get(k, 0) + 1
+            self.values.setdefault(k, []).append(v)
 
     def means(self) -> dict:
-        return {k: self.sums[k] / self.counts[k] for k in self.sums}
+        out = {}
+        for k, vals in self.values.items():
+            floats = [f for f in map(float, vals) if np.isfinite(f)]
+            if floats:
+                out[k] = sum(floats) / len(floats)
+        return out
 
     def reset(self) -> None:
-        self.sums.clear()
-        self.counts.clear()
+        self.values.clear()
 
 
 class Trainer:
@@ -326,7 +331,6 @@ class Trainer:
                     inputs = self.model.prepare_inputs(batch)
                     metrics = {**metrics, **self.evaluator(inputs, outputs)}
                     self._last_eval_batch = (host_batch, outputs)
-            metrics = {k: float(v) for k, v in metrics.items()}
             model_time = time.perf_counter() - model_t0
 
             metrics["stats/time/data"] = data_time
@@ -430,7 +434,9 @@ class Trainer:
         key = cfg.metric_for_best_model
         if not key:
             return
-        value = means.get(key) or means.get(f"metrics/{key}")
+        value = means.get(key)
+        if value is None:
+            value = means.get(f"metrics/{key}")
         if value is None:
             return
         best = self.state.best_metric
@@ -498,6 +504,9 @@ class Trainer:
     def _maybe_load_checkpoint(self):
         cfg = self.config
         self._restored_opt_state = None
+        # freezing applies regardless of resume (reference trainer.py:463)
+        if cfg.finetune_layers is not None:
+            self.model.freeze(list(cfg.finetune_layers))
         path = cfg.resume_from_checkpoint
         if not path:
             return
@@ -527,9 +536,6 @@ class Trainer:
             if isinstance(leaves, dict):  # msgpack restores lists as int-keyed dicts
                 leaves = [leaves[k] for k in sorted(leaves, key=int)]
             self._restored_opt_state = leaves
-
-        if cfg.finetune_layers is not None:
-            self.model.freeze(list(cfg.finetune_layers))
 
 
 def _path_str(path) -> str:

@@ -74,3 +74,25 @@ def test_synthesizer_deterministic_by_seed(synthesizer):
 def test_synthesizer_too_long_raises(synthesizer):
     with pytest.raises(ValueError):
         synthesizer("x" * 200)
+
+
+def test_synthesizer_uses_checkpoint_encoding_map():
+    """charset=None: the checkpoint's own table drives tokenization; a
+    mismatched explicit charset is rejected."""
+    from isp_tts_tpu.data.text.table import CodingTable
+
+    ct = CodingTable.from_charset(["<pad>", "</s>", "#punct", "#marks", "#en"])
+    cfg_dict = dict(TINY, encoding_map=dict(ct.encoding_map))
+    model = AcousticModel(build_config(AcousticModelConfig, cfg_dict),
+                          rngs=nnx.Rngs(0))
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=3.0, steps=1,
+        charset=None))
+    assert dict(synth.text_provider.coding_table.encoding_map) == dict(ct.encoding_map)
+    mels = synth("a+b.")  # '+' only exists in the #marks charset
+    assert np.isfinite(mels[0]).all()
+
+    with pytest.raises(ValueError):
+        Synthesizer(model, SynthesizerConfig(
+            text_buckets=(16,), frame_budgets=(64,),
+            charset=("<pad>", "</s>", "#punct", "#en")))
