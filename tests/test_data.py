@@ -165,3 +165,17 @@ def test_dataloader_prefetch_matches_sync(toy_dataset):
     for a, b in zip(sync, pre):
         assert a["filename"] == b["filename"]
         np.testing.assert_array_equal(a["text_vector"], b["text_vector"])
+
+
+def test_dataloader_droplast_false_pads_shards(toy_dataset):
+    """Final partial batch cycles indices so every shard keeps equal size."""
+    ds = _dataset(toy_dataset)  # 6 samples
+    coll = AcousticCollator()
+    dl0 = DataLoader(ds, coll, batch_size=4, drop_last=False,
+                     num_shards=2, shard_index=0, prefetch=0)
+    dl1 = DataLoader(ds, coll, batch_size=4, drop_last=False,
+                     num_shards=2, shard_index=1, prefetch=0)
+    b0, b1 = list(dl0), list(dl1)
+    assert len(b0) == len(b1) == 2
+    # final partial batch (2 leftover samples) still yields equal local sizes
+    assert b0[-1]["mel"].shape[0] == b1[-1]["mel"].shape[0] == 1
