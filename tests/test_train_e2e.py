@@ -173,3 +173,17 @@ def test_grad_accumulation_step_accounting(toy_root, tmp_path):
     trainer.train()
     assert trainer.state.global_step == 2  # one optimizer step per epoch
     assert trainer._micro_step == 4  # two micro-batches per epoch
+
+
+def test_profiler_trace_window(toy_root, tmp_path):
+    """profile_steps=(1,2) writes a jax.profiler trace under run_dir."""
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    overrides = _overrides(toy_root, tmp_path, epochs=2,
+                           profile_steps=(1, 2))
+    modules = ExperimentModules("acoustic/core", "recipes", overrides=overrides)
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    trainer.train()
+    profile_dir = trainer.run_dir / "profile"
+    assert profile_dir.exists() and any(profile_dir.rglob("*"))
