@@ -166,13 +166,17 @@ class Aligner(nnx.Module):
         return attn_soft, attn_logits
 
     def _mas(self, attn_logits, text_len, mel_len):
-        """Dispatch MAS: the Pallas TPU kernel on TPU backends, the
-        vectorized lax.scan DP elsewhere (reference alignment.py:291-331
-        dispatched numba-CUDA vs numba-CPU with host round-trips; both paths
-        here stay on-device)."""
+        """Dispatch MAS (reference alignment.py:291-331 dispatched numba-CUDA
+        vs numba-CPU with host round-trips; both paths here stay on-device).
+
+        Default is the batch-vectorized lax.scan DP: profiling shows it beats
+        the Pallas kernel in training because the kernel's grid serializes
+        over batch (B x 2M tiny loop iterations on one core) while the scan
+        does M iterations of (B, T) vector ops. The Pallas kernel remains
+        available via mas_impl='pallas' (it wins for B=1 / huge T)."""
         impl = self.config.mas_impl
         if impl == "auto":
-            impl = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+            impl = "scan"
         if impl == "pallas":
             from ...ops.mas_pallas import monotonic_alignment_search_pallas
 

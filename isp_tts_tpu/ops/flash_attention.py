@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-DEF_BLOCK_Q = 128
+DEF_BLOCK_Q = 256
 
 
 def _bias_block(slopes_lo, slopes_hi, rows, cols, offset):
