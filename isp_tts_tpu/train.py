@@ -37,10 +37,23 @@ def main(argv=None):
                         metavar="KEY=VALUE", help="config overrides (dot paths)")
     parser.add_argument("--compute-stats", action="store_true",
                         help="compute dataset pitch/energy stats and exit")
+    parser.add_argument("--distributed", action="store_true",
+                        help="multi-host: jax.distributed.initialize() "
+                             "(TPU pods auto-detect the topology)")
     args = parser.parse_args(argv)
 
+    if args.distributed:
+        from .parallel.mesh import init_distributed
+
+        init_distributed()
+
+    # rank-0 logging discipline (reference console_logger.py:7-24: handlers
+    # empty on non-main processes)
+    import jax
+
+    main = jax.process_index() == 0
     logging.basicConfig(
-        level=logging.INFO,
+        level=logging.INFO if main else logging.WARNING,
         format="%(asctime)s | %(levelname)s | %(name)s | %(message)s",
     )
 
