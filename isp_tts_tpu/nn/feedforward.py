@@ -11,7 +11,6 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 from flax import nnx
 
-from ..config.registry import MISSING  # noqa: F401  (re-export convention)
 from .layers import choose_activation
 from .policy import get_compute_dtype
 

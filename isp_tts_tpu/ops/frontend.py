@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .audio import frame_energy, mel_filterbank, num_frames, stft_magnitude
+from .audio import frame_energy, mel_filterbank, stft_magnitude
 from .pitch import yin_pitch
 
 

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .audio import hann_window, mel_filterbank, stft_magnitude
+from .audio import hann_window, mel_filterbank
 
 
 @functools.lru_cache(maxsize=4)

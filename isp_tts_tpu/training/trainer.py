@@ -31,7 +31,7 @@ import numpy as np
 from flax import nnx
 
 from ..data.loader import DataLoader
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import make_mesh, shard_batch
 from .callbacks import (
     CALLBACKS,
     CallbackHandler,
