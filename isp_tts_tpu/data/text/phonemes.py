@@ -26,7 +26,15 @@ logger = logging.getLogger("isp_tts_tpu")
 
 class Phonemizer:
     def __init__(self, language: str = "en-us", preserve_punctuation: bool = True,
-                 with_stress: bool = True):
+                 with_stress: bool = True, backend=None):
+        """``backend`` injection: any object with
+        ``phonemize([text], separator=..., strip=True) -> [str]`` where words
+        are joined by '|' — used for testing without espeak, or to swap in a
+        different G2P engine."""
+        if backend is not None:
+            self._backend = backend
+            self._separator = None
+            return
         try:
             from phonemizer.backend import EspeakBackend
             from phonemizer.separator import Separator
@@ -43,18 +51,28 @@ class Phonemizer:
             language_switch="remove-flags",
         )
 
+    def _phonemize_raw(self, text: str) -> str:
+        return self._backend.phonemize([text], separator=self._separator,
+                                       strip=True)[0]
+
     def phonemize_text(self, text: str) -> str:
-        out = self._backend.phonemize([text], separator=self._separator, strip=True)
-        return out[0].replace("|", " ")
+        return self._phonemize_raw(text).replace("|", " ")
 
     def phonemize_words(self, text: str) -> list[tuple[str, str]]:
-        """[(word, phonemes)] pairs; raises if alignment fails."""
+        """[(word, phonemes)] pairs.
+
+        First tries whole-utterance phonemization with word-separator
+        alignment (keeps espeak's cross-word context); if the engine merged
+        or split words (counts disagree), falls back to phonemizing each word
+        individually, which guarantees the alignment the masking needs
+        (the reference solves the same problem with a backtracking group
+        search over the merged output, phonemes.py:86-245)."""
         words = text.split(" ")
-        out = self._backend.phonemize([text], separator=self._separator, strip=True)[0]
-        phon_words = [w for w in out.split("|") if w != ""]
-        if len(phon_words) != len(words):
-            raise ValueError("word count mismatch after phonemization")
-        return list(zip(words, phon_words))
+        phon_words = [w for w in self._phonemize_raw(text).split("|") if w != ""]
+        if len(phon_words) == len(words):
+            return list(zip(words, phon_words))
+        per_word = [self._phonemize_raw(w).replace("|", " ") for w in words]
+        return list(zip(words, per_word))
 
     def __call__(self, text: str, mask_phonemes: bool | float = False,
                  rng: random.Random | None = None) -> str:
