@@ -12,6 +12,9 @@ The metric math is jittable JAX; figures are host-side matplotlib.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +35,7 @@ def dct_matrix(n_mfcc: int, n_mels: int) -> np.ndarray:
     return basis.astype(np.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("n_mfcc",))
 def mcd(mels_out: jnp.ndarray, mels_target: jnp.ndarray, mel_lens: jnp.ndarray,
         n_mfcc: int = 13) -> jnp.ndarray:
     """Mel-cepstral distortion over a batch of (B, M, n_mels) mels."""
@@ -44,6 +48,7 @@ def mcd(mels_out: jnp.ndarray, mels_target: jnp.ndarray, mel_lens: jnp.ndarray,
     return jnp.mean(per_sample)
 
 
+@jax.jit
 def alignment_metrics(attn_soft: jnp.ndarray, mel_lens: jnp.ndarray,
                       text_lens: jnp.ndarray):
     """(alignment_length, alignment_strength) from soft attention (B, M, T)."""
