@@ -60,8 +60,10 @@ def test_attention_mqa_alibi_matches_torch():
 
 
 def test_feedforward_glu_matches_torch():
+    # gelu_exact = torch nn.GELU (erf); plain "gelu" is the fast tanh form
+    # whose ~3e-3 deviation is below bf16 noise but above this test's f32 bar
     cfg = build_config(FeedForwardConfig, dict(
-        dim=DIM, inner_dim=64, activation="gelu", glu=True, bias=False))
+        dim=DIM, inner_dim=64, activation="gelu_exact", glu=True, bias=False))
     ff = FeedForward(cfg, rngs=nnx.Rngs(1))
     ff.eval()
 
