@@ -142,6 +142,13 @@ class Attention(nnx.Module):
                     and context is None)
                 else "off"
             )
+        if use_flash == "on" and (self.causal or attention_mask is not None):
+            # the fused kernel supports only key-length masking — forcing it
+            # with causal/explicit masks would silently drop them
+            raise ValueError(
+                "flash='on' is incompatible with causal=True or an explicit "
+                "attention_mask (the fused kernel only supports key-length "
+                "masking); use flash='auto' or 'off'")
         if use_flash == "on":
             # fused Pallas path: ALiBi recomputed from slopes in-kernel
             if self.rel_pos is not None:

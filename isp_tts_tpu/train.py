@@ -12,14 +12,17 @@ import logging
 
 
 def parse_overrides(pairs: list[str]) -> dict:
-    import ast
+    """``--set a.b.c=<yaml>`` — values parse as YAML (flow mappings/lists,
+    scalars); unparseable values stay raw strings. Interpolations like
+    ``${model.encoder}`` survive as strings and resolve with the recipe."""
+    import yaml
 
     root: dict = {}
     for pair in pairs or []:
         key, _, raw = pair.partition("=")
         try:
-            value = ast.literal_eval(raw)
-        except (ValueError, SyntaxError):
+            value = yaml.safe_load(raw)
+        except yaml.YAMLError:
             value = raw
         node = root
         parts = key.strip().split(".")

@@ -102,6 +102,7 @@ class Trainer:
 
         self.state = TrainerState(is_main_process=self.is_main_process)
         self.control = TrainerControl()
+        self._eval_image_batch = None
 
         self.run_dir = Path(config.run_dir)
         if self.is_main_process:
@@ -123,7 +124,9 @@ class Trainer:
             cbs.append(CALLBACKS.get(name)(**kwargs))
         if config.progress and not config.disable_tqdm:
             cbs.append(ProgressCallback())
-        if "tensorboard" in tuple(config.log_with or ()):
+        if tuple(config.log_with or ()):
+            # the callback selects backends (tensorboard / wandb) from
+            # config.log_with at on_train_begin
             cbs.append(TrackerCallback(str(self.run_dir / "tb")))
         if callbacks:
             cbs.extend(callbacks)
@@ -144,6 +147,11 @@ class Trainer:
             logger.info("optimizing %d / %d params", n_opt, total)
         self.tx, self.schedule = build_optimizer(
             config.optimization, params, trainable_mask)
+        if self._restored_base_lr is not None and config.restore_lr:
+            # restore_lr semantics (reference optimizers.py:262-278): keep the
+            # checkpointed schedule base on resume; False = the fresh config LR
+            self.schedule.base_lr = float(self._restored_base_lr)
+            logger.info("restored schedule base lr %.3g", self.schedule.base_lr)
         self.opt_state = self.tx.init(params)
         self._grad_accum = config.optimization.grad_accum_steps > 1
         self._has_freeze_mask = trainable_mask is not None
@@ -296,8 +304,13 @@ class Trainer:
         """The hot loop (reference trainer.py:505-639)."""
         cfg = self.config
         loader.set_epoch(int(self.state.epoch))
-        self.control.reset_epoch()
-        self.callbacks.on_epoch_begin(cfg, self.state, self.control)
+        if is_train:
+            # epoch-level callback events fire only for TRAIN epochs: mid-train
+            # evaluation must not re-seed host RNGs (epoch_seed callback) or
+            # raise epoch-strategy save/eval flags (reference keeps a separate
+            # eval loop, trainer.py:336-355)
+            self.control.reset_epoch()
+            self.callbacks.on_epoch_begin(cfg, self.state, self.control)
 
         epoch_acc = Accumulator()
         step_acc = Accumulator()
@@ -330,7 +343,11 @@ class Trainer:
                 if self.evaluator is not None:
                     inputs = self.model.prepare_inputs(batch)
                     metrics = {**metrics, **self.evaluator(inputs, outputs)}
-                    self._last_eval_batch = (host_batch, outputs)
+                    if self._eval_image_batch is None:
+                        # image dashboards render the FIRST eval batch
+                        # (reference evaluator.py:102-137 logs sample 0),
+                        # deterministic regardless of eval-set size
+                        self._eval_image_batch = (host_batch, outputs)
             model_time = time.perf_counter() - model_t0
 
             metrics["stats/time/data"] = data_time
@@ -361,8 +378,8 @@ class Trainer:
                 break
             data_t0 = time.perf_counter()
 
-        self.callbacks.on_epoch_end(cfg, self.state, self.control)
         if is_train:
+            self.callbacks.on_epoch_end(cfg, self.state, self.control)
             self._maybe_log_save_evaluate(step_acc)
             self.state.epoch = float(int(self.state.epoch) + 1)
         return epoch_acc.means()
@@ -405,7 +422,7 @@ class Trainer:
             raise ValueError("evaluate() called without an eval dataset")
         if not self._steps_built:
             self._build_steps()
-        self._last_eval_batch = None
+        self._eval_image_batch = None
         was_train = self.control.is_train
         self.control.is_train = False
         prev_epoch_step = self.state.epoch_step
@@ -414,9 +431,9 @@ class Trainer:
         self.state.epoch_step = prev_epoch_step
 
         logs = {f"eval/{k}": v for k, v in means.items()}
-        if self.evaluator is not None and self._last_eval_batch is not None and \
+        if self.evaluator is not None and self._eval_image_batch is not None and \
                 hasattr(self.evaluator, "on_eval_epoch_end"):
-            batch, outputs = self._last_eval_batch
+            batch, outputs = self._eval_image_batch
             host_batch = {k: (np.asarray(v) if isinstance(v, jax.Array) else v)
                           for k, v in batch.items()}
             try:
@@ -494,6 +511,7 @@ class Trainer:
             payload["optimizer"] = {
                 "leaves": [np.asarray(l) for l in
                            jax.tree_util.tree_leaves(self.opt_state)],
+                "base_lr": float(self.schedule.base_lr),
             }
         path = self.run_dir / name
         save_checkpoint(path, payload)
@@ -504,6 +522,7 @@ class Trainer:
     def _maybe_load_checkpoint(self):
         cfg = self.config
         self._restored_opt_state = None
+        self._restored_base_lr = None
         # freezing applies regardless of resume (reference trainer.py:463)
         if cfg.finetune_layers is not None:
             self.model.freeze(list(cfg.finetune_layers))
@@ -523,6 +542,15 @@ class Trainer:
 
         if not cfg.warm_start:  # full resume
             exp_state = ckpt.get("experiment", {}).get("state")
+            if not exp_state:
+                # checkpoints without embedded state fall back to the sidecar
+                # trainer_state.json next to them (reference trainer.py:445-503)
+                import json
+
+                sidecar = Path(path).parent / TRAINER_STATE_FILE
+                if sidecar.exists():
+                    exp_state = json.loads(sidecar.read_text())
+                    logger.info("trainer state restored from %s", sidecar)
             if exp_state:
                 names = {f.name for f in __import__("dataclasses").fields(TrainerState)}
                 for k, v in exp_state.items():
@@ -536,6 +564,7 @@ class Trainer:
             if isinstance(leaves, dict):  # msgpack restores lists as int-keyed dicts
                 leaves = [leaves[k] for k in sorted(leaves, key=int)]
             self._restored_opt_state = leaves
+            self._restored_base_lr = blob.get("base_lr")
 
 
 def _path_str(path) -> str:

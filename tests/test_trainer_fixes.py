@@ -1,0 +1,123 @@
+"""Regression tests: wandb tracker wiring, restore_lr, eval-epoch callback
+isolation, sidecar trainer_state.json resume, flash='on' mask guard."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from test_train_e2e import TINY_MODEL, _overrides, toy_root  # noqa: F401
+
+
+def test_wandb_tracker_and_eval_epoch_isolation(toy_root, tmp_path, monkeypatch):
+    """log_with=[wandb] must attach the tracker (reference accelerate
+    trackers), and mid-train evaluation must NOT fire epoch-level callback
+    events (reference keeps a separate eval loop, trainer.py:336-355)."""
+    calls = {"init": 0, "log": 0, "finish": 0}
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls.__setitem__("init", calls["init"] + 1)
+    fake.log = lambda scalars, step=None: calls.__setitem__("log", calls["log"] + 1)
+    fake.finish = lambda: calls.__setitem__("finish", calls["finish"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from isp_tts_tpu.training.callbacks import TrainerCallback
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    epoch_begins = []
+
+    class Counter(TrainerCallback):
+        def on_epoch_begin(self, config, state, control, **kw):
+            epoch_begins.append(int(state.epoch))
+
+    overrides = _overrides(
+        toy_root, tmp_path, epochs=2, log_with=["wandb"],
+        eval_strategy="steps", eval_steps=1, eval_batches=1, logging_steps=1)
+    modules = ExperimentModules("acoustic/core", "recipes", overrides=overrides)
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    trainer.callbacks.add(Counter())
+    trainer.train()
+
+    assert calls["init"] == 1, "wandb tracker was not attached"
+    assert calls["log"] > 0
+    assert calls["finish"] == 1
+    # 2 train epochs, with a step-strategy eval after every step: epoch
+    # events must fire exactly once per TRAIN epoch
+    assert epoch_begins == [0, 1]
+
+
+@pytest.fixture(scope="module")
+def trained_run(toy_root, tmp_path_factory):
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    outdir = tmp_path_factory.mktemp("fixes_run")
+    modules = ExperimentModules(
+        "acoustic/core", "recipes",
+        overrides=_overrides(toy_root, outdir, epochs=1, save_strategy="epoch"))
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    trainer.train()
+    return trainer.run_dir
+
+
+def test_restore_lr(toy_root, trained_run):
+    """restore_lr=True keeps the checkpointed schedule base LR on resume;
+    False uses the fresh config LR (reference optimizers.py:262-278)."""
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    ckpt = str(trained_run / "checkpoint_last.ckpt")
+
+    def build(**trainer_over):
+        overrides = _overrides(toy_root, trained_run.parent, epochs=1,
+                               resume_from_checkpoint=ckpt, **trainer_over)
+        overrides["trainer"]["optimization"] = {"learning_rate": 9e-5}
+        modules = ExperimentModules("acoustic/core", "recipes", overrides=overrides)
+        modules.init_modules()
+        return modules.build_trainer()
+
+    t_keep = build(restore_lr=True)
+    assert t_keep.schedule.base_lr == pytest.approx(2e-4)  # checkpoint LR
+    t_fresh = build(restore_lr=False)
+    assert t_fresh.schedule.base_lr == pytest.approx(9e-5)  # config LR
+
+
+def test_resume_from_sidecar_trainer_state(toy_root, trained_run):
+    """A checkpoint without embedded trainer state falls back to the
+    trainer_state.json sidecar (reference trainer.py:445-503)."""
+    from isp_tts_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    src = trained_run / "checkpoint_last.ckpt"
+    stripped = trained_run / "checkpoint_stripped.ckpt"
+    payload = load_checkpoint(src)
+    payload["experiment"].pop("state")
+    save_checkpoint(stripped, payload)
+    assert (trained_run / "trainer_state.json").exists()
+
+    overrides = _overrides(toy_root, trained_run.parent, epochs=2,
+                           resume_from_checkpoint=str(stripped))
+    modules = ExperimentModules("acoustic/core", "recipes", overrides=overrides)
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    assert trainer.state.global_step == 1  # restored from the sidecar
+
+
+def test_flash_on_rejects_unsupported_masks():
+    """flash='on' must not silently drop causal/explicit attention masks
+    (the fused kernel only supports key-length masking)."""
+    import jax.numpy as jnp
+    from flax import nnx
+
+    from isp_tts_tpu.nn.attention import Attention, AttentionConfig
+
+    x = jnp.zeros((1, 4, 16))
+    causal = Attention(AttentionConfig(dim=16, heads=2, head_dim=8,
+                                       flash="on", causal=True), rngs=nnx.Rngs(0))
+    with pytest.raises(ValueError, match="flash"):
+        causal(x)
+
+    plain = Attention(AttentionConfig(dim=16, heads=2, head_dim=8, flash="on"),
+                      rngs=nnx.Rngs(0))
+    with pytest.raises(ValueError, match="flash"):
+        plain(x, attention_mask=jnp.ones((4, 4), bool))
