@@ -154,9 +154,12 @@ class Aligner(nnx.Module):
 
         if self.attention_prior:
             prior = batch_diagonal_prior(text_len, mel_len, T, M)
-            attn = jax.nn.log_softmax(
-                jnp.where(key_mask[:, None, :], attn, NEG_INF), axis=2
-            ) + jnp.log(prior + 1e-6)
+            # log_softmax over ALL text columns (unmasked), exactly like the
+            # reference (alignment.py:196-198): attn_logits is cloned BEFORE
+            # the key-mask fill, so padded columns keep finite values — the
+            # CTC alignment loss depends on this (the normalization shift
+            # cancels in attn_soft but NOT against the constant blank column)
+            attn = jax.nn.log_softmax(attn, axis=2) + jnp.log(prior + 1e-6)
 
         attn_logits = attn
 

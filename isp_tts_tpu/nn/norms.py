@@ -79,7 +79,7 @@ class MaskedBatchNorm1d(nnx.Module):
         self.var = nnx.BatchStat(jnp.ones((num_features,)))
         if affine:
             self.scale = nnx.Param(jnp.ones((num_features,)))
-            self.shift = nnx.Param(jnp.zeros((num_features,)))
+            self.bias = nnx.Param(jnp.zeros((num_features,)))
         # flipped automatically by nnx Module.train()/.eval()
         self.use_running_average = False
 
@@ -99,7 +99,7 @@ class MaskedBatchNorm1d(nnx.Module):
             self.var.value = (1 - self.momentum) * self.var.value + self.momentum * var
         out = (x - mean) / jnp.sqrt(var + self.eps)
         if self.affine:
-            out = out * self.scale.value + self.shift.value
+            out = out * self.scale.value + self.bias.value
         if mask is not None:
             out = out * mask[:, :, None].astype(x.dtype)
         return out
@@ -109,18 +109,20 @@ class MaskedInstanceNorm1d(nnx.Module):
     """Instance norm over the time axis using only unmasked positions.
 
     Input (B, T, C); mask (B, T) True=valid. Statistics are computed per
-    (batch, channel) over valid timesteps only (reference
-    tts/modules/normalization.py:129-208). Affine-free by default, matching
-    torch InstanceNorm1d(affine=False).
+    (batch, channel) over valid timesteps only. Affine by DEFAULT: the
+    reference overrides torch's InstanceNorm1d(affine=False) default
+    (tts/modules/normalization.py:129-137, affine=True), and the aligner's
+    trained checkpoints carry those weights — params are named scale/bias so
+    torch `.pt` interop maps them (norm.weight -> norm.scale, norm.bias).
     """
 
-    def __init__(self, num_features: int, eps: float = 1e-5, affine: bool = False,
+    def __init__(self, num_features: int, eps: float = 1e-5, affine: bool = True,
                  *, rngs: nnx.Rngs | None = None):
         self.eps = eps
         self.affine = affine
         if affine:
             self.scale = nnx.Param(jnp.ones((num_features,)))
-            self.shift = nnx.Param(jnp.zeros((num_features,)))
+            self.bias = nnx.Param(jnp.zeros((num_features,)))
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
         if mask is None:
@@ -134,7 +136,7 @@ class MaskedInstanceNorm1d(nnx.Module):
             var = jnp.sum((x - mean) ** 2 * m, axis=1, keepdims=True) / count
         out = (x - mean) / jnp.sqrt(var + self.eps)
         if self.affine:
-            out = out * self.scale.value + self.shift.value
+            out = out * self.scale.value + self.bias.value
         if mask is not None:
             out = out * mask[:, :, None].astype(x.dtype)
         return out

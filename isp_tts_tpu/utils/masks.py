@@ -46,15 +46,20 @@ def get_mask_3d(widths: jnp.ndarray, heights: jnp.ndarray, max_w: int, max_h: in
     return mask_w[:, :, None] & mask_h[:, None, :]
 
 
-def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, axis=None, eps: float = 1e-9) -> jnp.ndarray:
-    """Mean of ``x`` over positions where ``mask`` is True.
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Mean of per-sample masked means.
 
-    Parity: reference ``masked_mean`` (tts/utils/functions.py:44-58).
+    Parity: reference ``masked_mean`` (tts/utils/functions.py:44-58) sums
+    over all non-batch axes PER SAMPLE, divides by the per-sample count, then
+    takes an unweighted mean over the batch — NOT a global masked mean; the
+    two differ on ragged batches (each sample weighs equally regardless of
+    its length).
     """
-    mask = mask.astype(x.dtype)
-    total = jnp.sum(x * mask, axis=axis)
-    count = jnp.sum(mask, axis=axis)
-    return total / jnp.maximum(count, eps)
+    mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    axes = tuple(range(1, x.ndim)) if x.ndim > 1 else (0,)
+    num = jnp.sum(x * mask, axis=axes)
+    den = jnp.sum(mask, axis=axes)
+    return jnp.mean(num / jnp.maximum(den, eps))
 
 
 def lengths_from_mask(mask: jnp.ndarray) -> jnp.ndarray:
