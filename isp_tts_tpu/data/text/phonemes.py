@@ -10,16 +10,22 @@ this module without it raises only when a Phonemizer is constructed, so
 grapheme-only pipelines (e.g. the ru_en recipe with stress marks) work in
 minimal environments.
 
-Word-level mapping strategy: phonemize with an explicit word separator and
-zip with the input words when counts line up; fall back to whole-string
-phonemization otherwise (the reference uses a backtracking group-search for
-the same goal).
+Word-level mapping strategy (reference phonemes.py:86-245): the sweep /
+backtracking group search in ``word_level.align_word_groups`` partitions the
+utterance and its whole-string conversion into aligned groups, preserving
+espeak's cross-word phonetic context even when the engine merges or splits
+words. A fast path zips words directly when the separator-based counts
+already line up; per-word re-phonemization remains as the last-resort
+fallback (it loses cross-word context, so it only runs when the group
+search fails).
 """
 
 from __future__ import annotations
 
 import logging
 import random
+
+from .word_level import WordAlignmentError, align_word_groups
 
 logger = logging.getLogger("isp_tts_tpu")
 
@@ -58,26 +64,39 @@ class Phonemizer:
     def phonemize_text(self, text: str) -> str:
         return self._phonemize_raw(text).replace("|", " ")
 
-    def phonemize_words(self, text: str) -> list[tuple[str, str]]:
-        """[(word, phonemes)] pairs.
+    def phonemize_words(self, text: str) -> list[tuple[str, str | None]]:
+        """[(text_group, phoneme_group)] pairs covering the utterance.
 
-        First tries whole-utterance phonemization with word-separator
-        alignment (keeps espeak's cross-word context); if the engine merged
-        or split words (counts disagree), falls back to phonemizing each word
-        individually, which guarantees the alignment the masking needs
-        (the reference solves the same problem with a backtracking group
-        search over the merged output, phonemes.py:86-245)."""
+        Groups come from the word-level sweep/backtracking search
+        (reference phonemes.py:86-245) over the WHOLE-string conversion, so
+        espeak's cross-word phonetic context survives even when the engine
+        merges words ("on the" -> one phonetic word) or splits them. A
+        phoneme_group of None means the text group converts to nothing.
+
+        Fast path: when separator-based word counts already line up, zip
+        directly (one conv_fn call instead of many probes). Last resort when
+        the group search fails: per-word re-phonemization (loses cross-word
+        context but guarantees coverage).
+        """
         words = text.split(" ")
         phon_words = [w for w in self._phonemize_raw(text).split("|") if w != ""]
         if len(phon_words) == len(words):
             return list(zip(words, phon_words))
+        try:
+            text_groups, _, conv_groups = align_word_groups(
+                text, self.phonemize_text)
+            return list(zip(text_groups, conv_groups))
+        except (WordAlignmentError, AssertionError):
+            logger.debug("word-level group search failed for %r; "
+                         "per-word fallback", text)
         per_word = [self._phonemize_raw(w).replace("|", " ") for w in words]
         return list(zip(words, per_word))
 
     def __call__(self, text: str, mask_phonemes: bool | float = False,
                  rng: random.Random | None = None) -> str:
-        """Phonemize; with probability ``mask_phonemes`` keep a word's
-        graphemes instead of its phonemes (word-level regularization)."""
+        """Phonemize; with probability ``mask_phonemes`` keep a group's
+        graphemes instead of its phonemes (word-level regularization,
+        reference phonemes.py:17-45)."""
         rng = rng or random
         if not mask_phonemes:
             return self.phonemize_text(text)
@@ -87,7 +106,10 @@ class Phonemizer:
             logger.debug("word-level phonemization failed; whole-string fallback")
             return self.phonemize_text(text)
         prob = 1.0 if mask_phonemes is True else float(mask_phonemes)
-        out_words = [
-            word if rng.random() < prob else phon for word, phon in pairs
-        ]
+        out_words = []
+        for word, phon in pairs:
+            if rng.random() < prob:
+                out_words.append(word)
+            elif phon is not None:
+                out_words.append(phon)
         return " ".join(out_words)

@@ -49,12 +49,15 @@ def test_word_level_masking_mixture():
     assert all(len(o.split(" ")) == 3 for o in outs)
 
 
-def test_word_count_mismatch_falls_back_per_word():
-    """When the engine merges words, per-word fallback keeps the alignment."""
+def test_word_count_mismatch_group_search():
+    """When the engine merges words, the group search aligns the merged
+    output as a single group, keeping cross-word phonetic context
+    (reference phonemes.py:86-245) instead of re-phonemizing per word."""
     ph = Phonemizer(backend=FakeBackend(merge_words=True))
     pairs = ph.phonemize_words("hello world go")
-    assert [w for w, _ in pairs] == ["hello", "world", "go"]
-    assert pairs[0][1] == "OLEH" and pairs[2][1] == "OG"
-    # masking still yields one output token per input word
+    assert pairs == [("hello world", "OLEHDLROW"), ("go", "OG")]
+    # masking operates on groups and covers the whole text
     out = ph("hello world go", mask_phonemes=1.0)
     assert out == "hello world go"
+    out = ph("hello world go", mask_phonemes=1e-12)
+    assert out == "OLEHDLROW OG"
