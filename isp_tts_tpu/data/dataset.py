@@ -56,6 +56,68 @@ class AcousticDatasetConfig:
     pitch_from_disk: bool = False
     stats: dict | str | None = None
     cache_features: bool = True
+    # feature-cache bounds (the reference keeps NO cache and re-extracts
+    # every epoch; an unbounded cache holds every mel in RAM)
+    cache_max_items: int | None = None
+    cache_max_bytes: float | None = 2 * 1024 ** 3
+    # batched front-end: extract mel/pitch/energy for a whole batch in ONE
+    # jitted ops.frontend.extract_features call instead of per-utterance
+    # host providers (first-epoch throughput; the hot path on epoch >= 2 is
+    # the cache either way). "cpu" runs it on the host backend so the TPU
+    # stays on the train step; "default" runs it on the default device.
+    batched_frontend: bool = False
+    frontend_device: str = "cpu"
+    frontend_bucket_multiple: int = 16384
+
+
+class FeatureCache:
+    """Insertion-ordered feature cache with item/byte caps (LRU eviction)."""
+
+    def __init__(self, max_items: int | None = None,
+                 max_bytes: float | None = None):
+        from collections import OrderedDict
+
+        self.max_items = max_items
+        self.max_bytes = max_bytes
+        self._data: dict[int, AcousticSample] = OrderedDict()
+        self._bytes = 0
+
+    @staticmethod
+    def _nbytes(sample: AcousticSample) -> int:
+        total = 0
+        for arr in (sample.mel, sample.pitch, sample.energy, sample.text_vector):
+            if arr is not None and hasattr(arr, "nbytes"):
+                total += arr.nbytes
+        return total
+
+    def __contains__(self, idx: int) -> bool:
+        return idx in self._data
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    @property
+    def nbytes(self) -> int:
+        return self._bytes
+
+    def get(self, idx: int) -> AcousticSample:
+        self._data.move_to_end(idx)
+        return self._data[idx]
+
+    def put(self, idx: int, sample: AcousticSample) -> None:
+        if idx in self._data:
+            self._bytes -= self._nbytes(self._data.pop(idx))
+        self._data[idx] = sample
+        self._bytes += self._nbytes(sample)
+        while self._data and (
+                (self.max_items is not None and len(self._data) > self.max_items)
+                or (self.max_bytes is not None and self._bytes > self.max_bytes)):
+            _, evicted = self._data.popitem(last=False)
+            self._bytes -= self._nbytes(evicted)
+
+    def clear(self) -> None:
+        self._data.clear()
+        self._bytes = 0
 
 
 class AcousticDataset:
@@ -107,20 +169,59 @@ class AcousticDataset:
         else:
             self.stats = DatasetStats.load(stats)
 
-        self._cache: dict[int, AcousticSample] | None = {} if cfg.cache_features else None
+        self._cache: FeatureCache | None = (
+            FeatureCache(cfg.cache_max_items, cfg.cache_max_bytes)
+            if cfg.cache_features else None
+        )
+
+        self._frontend_cfg = None
+        if cfg.batched_frontend:
+            self._frontend_cfg = self._make_frontend_config()
+
+    def _make_frontend_config(self):
+        """Map provider configs onto ops.frontend.FrontendConfig; falls back
+        to the per-utterance path (returns None) for configurations the fused
+        pipeline doesn't replicate."""
+        from ..ops.frontend import FrontendConfig
+
+        cfg = self.config
+        if cfg.pitch_from_disk:
+            logger.warning("batched_frontend ignores pitch_from_disk; "
+                           "using per-utterance providers")
+            return None
+        if self.pitch_provider is not None and (
+                self.pitch_provider.config.method not in ("yin", "torch-yin")
+                or self.pitch_provider.config.norm != "standard"):
+            logger.warning("batched_frontend supports yin pitch with standard "
+                           "norm only; using per-utterance providers")
+            return None
+        pitch_cfg = self.pitch_provider.config if self.pitch_provider else None
+        return FrontendConfig(
+            sample_rate=self.audio_provider.config.sample_rate,
+            n_fft=self.spec_provider.config.n_fft,
+            hop_length=self.spec_provider.config.hop_length,
+            win_length=self.spec_provider.config.win_length,
+            n_mels=self.mel_scale_provider.config.n_mels,
+            f_min=self.mel_scale_provider.config.f_min,
+            f_max=self.mel_scale_provider.config.f_max,
+            pitch_f_max=float(pitch_cfg.f_max) if pitch_cfg else 800.0,
+            pitch_threshold=pitch_cfg.threshold if pitch_cfg else 0.15,
+        )
 
     def __len__(self) -> int:
         return len(self.meta)
 
+    def _with_fresh_text(self, cached: AcousticSample) -> AcousticSample:
+        # re-run only the (random) text pipeline on cache hits so phoneme
+        # masking stays stochastic while audio features are reused
+        text_data = self.text_provider(cached.text)
+        return AcousticSample(**{**cached.__dict__,
+                                 "text_vector": text_data.vector,
+                                 "text_vector_len": text_data.vector_len})
+
     def __getitem__(self, idx: int) -> AcousticSample:
         if self._cache is not None and idx in self._cache:
-            cached = self._cache[idx]
-            # re-run only the (random) text pipeline on cache hits so phoneme
-            # masking stays stochastic while audio features are reused
-            text_data = self.text_provider(cached.text)
-            return AcousticSample(**{**cached.__dict__,
-                                     "text_vector": text_data.vector,
-                                     "text_vector_len": text_data.vector_len})
+            return self._with_fresh_text(self._cache.get(idx))
 
         record = self.meta[idx]
         text_data = self.text_provider(record.text)
@@ -156,8 +257,77 @@ class AcousticDataset:
             speaker=speaker,
         )
         if self._cache is not None:
-            self._cache[idx] = sample
+            self._cache.put(idx, sample)
         return sample
+
+    # -- batched front-end -----------------------------------------------
+
+    def get_batch(self, indices: list[int]) -> list[AcousticSample]:
+        """Samples for a batch of indices; with ``batched_frontend`` all
+        cache-missing audio is featurized in ONE fused jitted call
+        (ops.frontend.extract_features) instead of per-utterance providers
+        — the reference runs every stage per utterance in DataLoader
+        workers (tts/data/dataset.py:132-172)."""
+        if self._frontend_cfg is None:
+            return [self[i] for i in indices]
+        missing = [i for i in indices
+                   if self._cache is None or i not in self._cache]
+        fresh = self._extract_batch(missing) if missing else {}
+        out = []
+        for i in indices:
+            if i in fresh:
+                out.append(fresh[i])  # text pipeline already ran in-extract
+            elif self._cache is not None and i in self._cache:
+                out.append(self._with_fresh_text(self._cache.get(i)))
+            else:
+                out.append(self[i])
+        return out
+
+    def _extract_batch(self, indices: list[int]) -> dict[int, AcousticSample]:
+        import jax
+
+        from ..ops.frontend import bucket_audio, extract_features
+
+        cfg = self.config
+        records = [self.meta[i] for i in indices]
+        audios = [self.audio_provider(Path(self.data_root, r.audio_path))
+                  for r in records]
+        padded, lens = bucket_audio(audios, cfg.frontend_bucket_multiple)
+
+        devices = (jax.local_devices(backend="cpu")
+                   if cfg.frontend_device == "cpu" else jax.local_devices())
+        with jax.default_device(devices[0]):
+            feats = extract_features(
+                padded, lens, self._frontend_cfg,
+                pitch_mean=self.stats.pitch.mean, pitch_std=self.stats.pitch.std)
+            mel = np.asarray(feats.mel)
+            pitch = np.asarray(feats.pitch)
+            energy = np.asarray(feats.energy)
+            mel_lens = np.asarray(feats.mel_lens)
+
+        out: dict[int, AcousticSample] = {}
+        for j, (idx, record) in enumerate(zip(indices, records)):
+            n = int(mel_lens[j])
+            text_data = self.text_provider(record.text)
+            speaker = (int(self.speaker_map[record.speaker])
+                       if self.speaker_map is not None else None)
+            sample = AcousticSample(
+                filename=record.audio_path,
+                text=record.text,
+                text_vector=text_data.vector,
+                text_vector_len=text_data.vector_len,
+                mel=mel[j, :n].astype(np.float32),
+                mel_len=n,
+                pitch=(pitch[j, :n].astype(np.float32)
+                       if self.pitch_provider is not None else None),
+                energy=(energy[j, :n].astype(np.float32)
+                        if self.energy_provider is not None else None),
+                speaker=speaker,
+            )
+            out[idx] = sample
+            if self._cache is not None:
+                self._cache.put(idx, sample)
+        return out
 
     def compute_stats(self, save_stats: bool = True,
                       save_path: str | None = None) -> DatasetStats:

@@ -53,7 +53,12 @@ class DataLoader:
                 pad_to = -(-len(idxs) // self.num_shards) * self.num_shards
                 idxs = idxs + [idxs[i % len(idxs)] for i in range(pad_to - len(idxs))]
             local = idxs[self.shard_index::self.num_shards]
-            yield self.collate_fn([self.dataset[i] for i in local])
+            if hasattr(self.dataset, "get_batch"):
+                # batched front-end: one fused featurization call per batch
+                samples = self.dataset.get_batch(local)
+            else:
+                samples = [self.dataset[i] for i in local]
+            yield self.collate_fn(samples)
 
     def __iter__(self) -> Iterator[dict]:
         if not self.prefetch:

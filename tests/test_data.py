@@ -179,3 +179,63 @@ def test_dataloader_droplast_false_pads_shards(toy_dataset):
     assert len(b0) == len(b1) == 2
     # final partial batch (2 leftover samples) still yields equal local sizes
     assert b0[-1]["mel"].shape[0] == b1[-1]["mel"].shape[0] == 1
+
+
+def test_feature_cache_bounds():
+    from isp_tts_tpu.data.dataset import AcousticSample, FeatureCache
+
+    def sample(i, frames=10):
+        return AcousticSample(
+            filename=f"u{i}", text="t", text_vector=np.zeros(4, np.int32),
+            text_vector_len=4, mel=np.zeros((frames, 80), np.float32),
+            mel_len=frames)
+
+    cache = FeatureCache(max_items=3)
+    for i in range(5):
+        cache.put(i, sample(i))
+    assert len(cache) == 3 and 0 not in cache and 4 in cache
+
+    one = sample(0).mel.nbytes + 16  # mel + text_vector
+    cache = FeatureCache(max_bytes=2.5 * one)
+    for i in range(4):
+        cache.put(i, sample(i))
+    assert len(cache) == 2 and cache.nbytes <= 2.5 * one
+    # touching an entry protects it from LRU eviction
+    cache.get(2)
+    cache.put(9, sample(9))
+    assert 2 in cache and 3 not in cache
+
+
+def test_batched_frontend_matches_per_utterance(toy_dataset):
+    ds_ref = _dataset(toy_dataset, stats={"pitch": {"mean": 150.0, "std": 40.0},
+                                          "energy": {"mean": 0.0, "std": 1.0}})
+    ds_bat = _dataset(toy_dataset, batched_frontend=True,
+                      stats={"pitch": {"mean": 150.0, "std": 40.0},
+                             "energy": {"mean": 0.0, "std": 1.0}})
+    assert ds_bat._frontend_cfg is not None
+    batch = ds_bat.get_batch([0, 2, 4])
+    for sample, i in zip(batch, [0, 2, 4]):
+        ref = ds_ref[i]
+        assert sample.mel_len == ref.mel_len
+        np.testing.assert_allclose(sample.mel, ref.mel, atol=2e-4)
+        np.testing.assert_allclose(sample.pitch, ref.pitch, atol=2e-3)
+        np.testing.assert_allclose(sample.energy, ref.energy, atol=2e-4)
+        assert sample.speaker == ref.speaker
+    # second call is served from the cache (no re-extraction)
+    assert all(i in ds_bat._cache for i in [0, 2, 4])
+    again = ds_bat.get_batch([0, 2, 4])
+    np.testing.assert_array_equal(again[1].mel, batch[1].mel)
+
+
+def test_batched_frontend_through_loader(toy_dataset):
+    from isp_tts_tpu.data.collator import AcousticCollator, AcousticCollatorConfig
+    from isp_tts_tpu.data.loader import DataLoader
+
+    ds = _dataset(toy_dataset, batched_frontend=True,
+                  stats={"pitch": {"mean": 150.0, "std": 40.0},
+                         "energy": {"mean": 0.0, "std": 1.0}})
+    collator = AcousticCollator(build_config(AcousticCollatorConfig, {}))
+    loader = DataLoader(ds, collator, batch_size=3, shuffle=False, prefetch=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert np.isfinite(batches[0]["mel"]).all()
