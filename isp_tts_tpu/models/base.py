@@ -94,8 +94,13 @@ class Model(nnx.Module):
     # -- state io ------------------------------------------------------------
 
     def state_dict(self) -> dict[str, np.ndarray]:
+        from ..parallel.mesh import gather_to_host
+
         state = nnx.state(self, nnx.Not(nnx.RngState))
-        return {k: np.asarray(v) for k, v in flatten_state(_pure(state)).items()}
+        # gather_to_host allgathers any cross-host-sharded leaf (TP over
+        # multi-host meshes) — a bare np.asarray raises on those
+        return {k: gather_to_host(v)
+                for k, v in flatten_state(_pure(state)).items()}
 
     def load_params(self, flat: dict[str, Any], ignore_layers: list[str] | None = None,
                     ignore_mismatched: bool = True) -> None:

@@ -131,6 +131,33 @@ def process_local_mesh_info() -> tuple[int, int]:
     return jax.process_count(), jax.process_index()
 
 
+def barrier(name: str) -> None:
+    """Cross-host barrier (reference `accelerator.wait_for_everyone`,
+    trainer.py:116,441,637). No-op in single-process runs."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def gather_to_host(tree):
+    """Materialize a (possibly cross-host-sharded) pytree as host numpy.
+
+    Fully-addressable arrays (single host, or replicated) are fetched
+    directly; arrays sharded across processes (e.g. TP over multi-host
+    meshes) are allgathered first — `np.asarray` alone raises on
+    non-fully-addressable arrays.
+    """
+    def to_host(leaf):
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            leaf = multihost_utils.process_allgather(leaf, tiled=True)
+        return np.asarray(leaf)
+
+    return jax.tree_util.tree_map(to_host, tree)
+
+
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
                      process_id: int | None = None) -> None:

@@ -486,38 +486,49 @@ class Trainer:
         self._save_checkpoint(name)
 
     def _save_checkpoint(self, name: str):
-        if not self.is_main_process:
-            return
-        self._sync_model()
-        from ..config.registry import config_to_dict
-        import dataclasses as dc
+        from ..parallel.mesh import barrier, gather_to_host
 
-        payload = {
-            "format": "isp_tts_tpu.v1",
-            "experiment": {
-                "config": _plain_config(self.experiment_config),
-                "trainer": config_to_dict_safe(self.config),
-                "state": dc.asdict(self.state),
-            },
-            "model": {
-                "class": type(self.model).__name__,
-                "config": config_to_dict(self.model.config),
-                "state": self.model.state_dict(),
-            },
-        }
-        if self.config.save_optimizer:
-            # leaf-order serialization: the structure is rebuilt from code at
-            # init, so only leaf values travel (same-version resume)
-            payload["optimizer"] = {
-                "leaves": [np.asarray(l) for l in
-                           jax.tree_util.tree_leaves(self.opt_state)],
-                "base_lr": float(self.schedule.base_lr),
+        self._sync_model()
+        # host materialization runs on EVERY process in the same order:
+        # cross-host-sharded leaves (multi-host TP) are collective allgathers
+        model_state = self.model.state_dict()
+        opt_leaves = (
+            [gather_to_host(l) for l in jax.tree_util.tree_leaves(self.opt_state)]
+            if self.config.save_optimizer else None
+        )
+
+        if self.is_main_process:
+            from ..config.registry import config_to_dict
+            import dataclasses as dc
+
+            payload = {
+                "format": "isp_tts_tpu.v1",
+                "experiment": {
+                    "config": _plain_config(self.experiment_config),
+                    "trainer": config_to_dict_safe(self.config),
+                    "state": dc.asdict(self.state),
+                },
+                "model": {
+                    "class": type(self.model).__name__,
+                    "config": config_to_dict(self.model.config),
+                    "state": model_state,
+                },
             }
-        path = self.run_dir / name
-        save_checkpoint(path, payload)
-        self.state.last_model_checkpoint = str(path)
-        self.callbacks.on_save(self.config, self.state, self.control)
-        logger.info("saved checkpoint %s", path)
+            if opt_leaves is not None:
+                # leaf-order serialization: the structure is rebuilt from code
+                # at init, so only leaf values travel (same-version resume)
+                payload["optimizer"] = {
+                    "leaves": opt_leaves,
+                    "base_lr": float(self.schedule.base_lr),
+                }
+            path = self.run_dir / name
+            save_checkpoint(path, payload)
+            self.state.last_model_checkpoint = str(path)
+            self.callbacks.on_save(self.config, self.state, self.control)
+            logger.info("saved checkpoint %s", path)
+        # no rank may proceed (or load this file) until the write finished —
+        # the reference's wait_for_everyone (trainer.py:441,637)
+        barrier(f"save_{name}")
 
     def _maybe_load_checkpoint(self):
         cfg = self.config
@@ -529,7 +540,17 @@ class Trainer:
         path = cfg.resume_from_checkpoint
         if not path:
             return
-        ckpt = load_checkpoint(path)
+        from ..parallel.mesh import barrier
+
+        # no rank may read while another's save is in flight, and rank 0
+        # finishes loading before the others start (the reference's
+        # main_process_first around load, trainer.py:470)
+        barrier("checkpoint_load_enter")
+        if self.is_main_process:
+            ckpt = load_checkpoint(path)
+        barrier("checkpoint_load_main_first")
+        if not self.is_main_process:
+            ckpt = load_checkpoint(path)
         ignore = list(cfg.ignore_layers) if cfg.warm_start else []
         state = ckpt["model"]["state"]
         if ckpt.get("format") == "torch":

@@ -104,3 +104,81 @@ def test_tp_training_step_matches_replicated():
     loss_dp = run(model_a, make_mesh(data=-1, model=1))
     loss_tp = run(model_b, make_mesh(data=-1, model=2))
     np.testing.assert_allclose(loss_dp, loss_tp, rtol=1e-4)
+
+
+def test_barrier_and_gather_single_process():
+    """barrier is a no-op single-process; gather_to_host returns host numpy."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from isp_tts_tpu.parallel.mesh import barrier, gather_to_host
+
+    barrier("test")  # must not raise or hang
+    tree = {"a": jnp.arange(4.0), "b": [jnp.ones((2, 2))]}
+    out = gather_to_host(tree)
+    assert isinstance(out["a"], np.ndarray)
+    np.testing.assert_array_equal(out["a"], np.arange(4.0))
+
+
+def test_barrier_invokes_sync_when_multiprocess(monkeypatch):
+    import jax
+
+    from isp_tts_tpu.parallel import mesh
+
+    calls = []
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(multihost_utils, "sync_global_devices",
+                        lambda name: calls.append(name))
+    mesh.barrier("ckpt")
+    assert calls == ["ckpt"]
+
+
+def test_checkpoint_io_is_barriered(monkeypatch, tmp_path):
+    """Save ends with a barrier and load is bracketed by barriers
+    (reference wait_for_everyone / main_process_first, trainer.py:441,470)."""
+    import sys
+
+    sys.path.insert(0, str((__import__("pathlib").Path(__file__)).parent))
+    from test_train_e2e import _overrides, toy_root  # noqa: F401
+
+    from isp_tts_tpu.parallel import mesh
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    events = []
+    monkeypatch.setattr(mesh, "barrier", lambda name: events.append(name))
+
+    import numpy as np
+
+    from isp_tts_tpu.data.audio import write_wav
+
+    root = tmp_path / "ds"
+    (root / "wavs").mkdir(parents=True)
+    lines = []
+    for i in range(4):
+        n = int(22050 * 0.3)
+        wav = 0.3 * np.sin(2 * np.pi * 150 * np.arange(n) / 22050)
+        write_wav(root / "wavs" / f"u{i}.wav", wav.astype(np.float32), 22050)
+        lines.append(f"wavs/u{i}.wav|test line {i}.")
+    (root / "meta.csv").write_text("\n".join(lines) + "\n")
+
+    modules = ExperimentModules(
+        "acoustic/core", "recipes",
+        overrides=_overrides(root, tmp_path, epochs=1, batch_size=4,
+                             num_devices=4, save_strategy="epoch"))
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    trainer.train()
+    assert any(e.startswith("save_") for e in events)
+
+    events.clear()
+    modules2 = ExperimentModules(
+        "acoustic/core", "recipes",
+        overrides=_overrides(
+            root, tmp_path, epochs=1, batch_size=4, num_devices=4,
+            resume_from_checkpoint=str(trainer.run_dir / "checkpoint_last.ckpt")))
+    modules2.init_modules()
+    modules2.build_trainer()
+    assert "checkpoint_load_enter" in events
+    assert "checkpoint_load_main_first" in events
