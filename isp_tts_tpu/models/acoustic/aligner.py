@@ -172,14 +172,14 @@ class Aligner(nnx.Module):
         """Dispatch MAS (reference alignment.py:291-331 dispatched numba-CUDA
         vs numba-CPU with host round-trips; both paths here stay on-device).
 
-        Default is the batch-vectorized lax.scan DP: profiling shows it beats
-        the Pallas kernel in training because the kernel's grid serializes
-        over batch (B x 2M tiny loop iterations on one core) while the scan
-        does M iterations of (B, T) vector ops. The Pallas kernel remains
-        available via mas_impl='pallas' (it wins for B=1 / huge T)."""
+        Default is the batched two-phase Pallas kernel (ops/mas_pallas.py):
+        streamed wavefront DP + reversed-grid backtrack, every vector op over
+        the full (B, T) tile. Measured on v5e at B=32, M=768, T=192: 0.23 ms
+        vs 2.2 ms for the lax.scan DP (and 0.49 vs 1.54 ms at B=1); the scan
+        stays available via mas_impl='scan' (and is the CPU-backend path)."""
         impl = self.config.mas_impl
         if impl == "auto":
-            impl = "scan"
+            impl = "pallas" if jax.default_backend() == "tpu" else "scan"
         if impl == "pallas":
             from ...ops.mas_pallas import monotonic_alignment_search_pallas
 
