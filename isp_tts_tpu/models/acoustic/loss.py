@@ -4,8 +4,9 @@ Capability parity with reference `tts/models/acoustic/loss.py:22-182`:
 - MelLoss: masked mel MSE (:22-33)
 - AttentionCTCLoss: blank column (logprob -1) padded at index 0, log_softmax,
   CTC against the target sequence 1..text_len with zero_infinity (:41-79) —
-  here via optax.ctc_loss (forward algorithm in JAX) with torch 'mean'
-  reduction semantics (per-sample loss / target_length, then batch mean)
+  here a banded forward algorithm specialized to ordered distinct labels
+  (see _ordered_ctc_neg_logp; equality with optax.ctc_loss is tested) with
+  torch 'mean' reduction semantics (per-sample / target_length, batch mean)
 - AttentionBinarizationLoss: -mean log soft-attention at hard-attention
   positions (:87-105)
 - adaptor flow_loss passed through from the model output (:158-161)
@@ -22,7 +23,6 @@ from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from ...utils.masks import get_mask_from_lengths, masked_mean
 
@@ -68,24 +68,76 @@ def mel_loss_fn(mel_out: jnp.ndarray, mel_target: jnp.ndarray,
     return masked_mean((mel_out - mel_target) ** 2, mask)
 
 
+def _ordered_ctc_neg_logp(logprobs: jnp.ndarray, text_lens: jnp.ndarray,
+                          mel_lens: jnp.ndarray) -> jnp.ndarray:
+    """-log p(labels | logprobs) under CTC for the ORDERED label sequence
+    [1..text_len] (the only labels this loss ever sees).
+
+    Because every label is distinct and equals its own position + 1, the
+    generic CTC lattice (per-state label gathers) collapses to a fixed banded
+    recurrence over interleaved blank/label state vectors:
+
+      blank_j <- logaddexp(blank_j, label_j)              + blank_lp
+      label_j <- logaddexp(label_j, blank_{j-1}, label_{j-1}) + label_lp_j
+
+    which is pure shifted vector math — no gathers, no per-state bookkeeping.
+    The frame scan is unrolled 8x: the generic optax.ctc_loss while-loop ran
+    M=768 sequential steps of tiny VPU work and profiled at ~4.3 ms/step
+    (fwd+bwd) in the train step; this form is ~4x cheaper.
+
+    Matches optax.ctc_loss / torch nn.CTCLoss(sum over final two states)
+    numerics to fp tolerance (tested).
+
+    logprobs: (B, M, T+1) log-softmaxed, blank at index 0.
+    """
+    B, M, Tp1 = logprobs.shape
+    T = Tp1 - 1
+    NEG = -1e30
+
+    blank0 = jnp.full((B, T + 1), NEG).at[:, 0].set(0.0)
+    label0 = jnp.full((B, T), NEG)
+
+    frame_mask = get_mask_from_lengths(mel_lens, M)  # (B, M)
+
+    def step(carry, xs):
+        blank, label = carry
+        lp, valid = xs  # (B, T+1), (B,)
+        blank_lp, label_lp = lp[:, :1], lp[:, 1:]
+        new_blank = jnp.logaddexp(
+            blank, jnp.pad(label, ((0, 0), (1, 0)), constant_values=NEG),
+        ) + blank_lp
+        from_prev = jnp.logaddexp(
+            blank[:, :-1], jnp.pad(label[:, :-1], ((0, 0), (1, 0)),
+                                   constant_values=NEG))
+        new_label = jnp.logaddexp(label, from_prev) + label_lp
+        v = valid[:, None]
+        return (jnp.where(v, new_blank, blank),
+                jnp.where(v, new_label, label)), None
+
+    (blank, label), _ = jax.lax.scan(
+        step, (blank0, label0),
+        (logprobs.transpose(1, 0, 2), frame_mask.T),
+        unroll=8,
+    )
+    # total log-prob: sum of the final blank and final label states
+    idx = jnp.clip(text_lens, 1, T)
+    b_last = jnp.take_along_axis(blank, idx[:, None], axis=1)[:, 0]
+    l_last = jnp.take_along_axis(label, idx[:, None] - 1, axis=1)[:, 0]
+    return -jnp.logaddexp(b_last, l_last)
+
+
 def attention_ctc_loss_fn(attn_logits: jnp.ndarray, text_lens: jnp.ndarray,
                           mel_lens: jnp.ndarray, blank_logprob: float = -1.0) -> jnp.ndarray:
     """CTC forcing each text token to be visited in order.
 
     attn_logits: (B, M, T). Targets are [1..text_len]; a blank column with
-    fixed logprob is padded at index 0.
+    fixed logprob is padded at index 0 (reference loss.py:41-79).
     """
-    B, M, T = attn_logits.shape
     padded = jnp.pad(attn_logits, ((0, 0), (0, 0), (1, 0)),
                      constant_values=blank_logprob)
     logprobs = jax.nn.log_softmax(padded, axis=2)
 
-    labels = jnp.arange(1, T + 1, dtype=jnp.int32)[None, :].repeat(B, axis=0)
-    label_paddings = (~get_mask_from_lengths(text_lens, T)).astype(jnp.float32)
-    labels = labels * (1 - label_paddings.astype(jnp.int32))
-    logit_paddings = (~get_mask_from_lengths(mel_lens, M)).astype(jnp.float32)
-
-    per_example = optax.ctc_loss(logprobs, logit_paddings, labels, label_paddings)
+    per_example = _ordered_ctc_neg_logp(logprobs, text_lens, mel_lens)
     # torch nn.CTCLoss(reduction='mean'): divide by target length, then mean
     per_example = per_example / jnp.maximum(text_lens.astype(per_example.dtype), 1.0)
     # zero_infinity=True semantics

@@ -103,7 +103,10 @@ class Attention(nnx.Module):
         kv_input = context if context is not None else x
         m = kv_input.shape[1]
 
-        q = self.to_q(x).reshape(b, n, self.heads, self.head_dim).transpose(0, 2, 1, 3)
+        # q stays in the projection's natural (B, N, H, D) layout; paths that
+        # need head-major (einsum SDPA, the per-head-grid kernel) transpose
+        # at their branch — the folded-MQA flash path consumes it directly
+        q_nhd = self.to_q(x).reshape(b, n, self.heads, self.head_dim)
         if cache is not None and context is not None:
             k, v = cache  # cross-attention: reuse cached projections
         else:
@@ -166,10 +169,23 @@ class Attention(nnx.Module):
             key_lens = (jnp.sum(key_mask.astype(jnp.int32), axis=-1)
                         if key_mask is not None
                         else jnp.full((b,), m, jnp.int32))
-            from ..ops.flash_attention import flash_attention
+            if k.shape[1] == 1:
+                # MQA: folded-row kernel, zero transposes (see ops/flash_attention)
+                from ..ops.flash_attention import flash_attention_mqa
 
-            out = flash_attention(q, k, v, slopes2, key_lens,
-                                  self.scale, offset=m - n)
+                from ..ops.flash_attention import DEF_BLOCK_K_MQA, DEF_BLOCK_R
+
+                sym = self.rel_pos.symmetric if self.rel_pos is not None else True
+                # static args positionally: custom_vjp rejects kwargs
+                out = flash_attention_mqa(q_nhd, k[:, 0], v[:, 0], slopes2,
+                                          key_lens, self.scale, m - n,
+                                          DEF_BLOCK_R, DEF_BLOCK_K_MQA, sym)
+            else:
+                from ..ops.flash_attention import flash_attention
+
+                out = flash_attention(
+                    q_nhd.transpose(0, 2, 1, 3), k, v, slopes2, key_lens,
+                    self.scale, offset=m - n).transpose(0, 2, 1, 3)
         else:
             bias = None
             if self.rel_pos is not None:
@@ -177,11 +193,11 @@ class Attention(nnx.Module):
                         else self.rel_pos(n, m, offset=m - n))
                 shared_bias = bias
             out = scaled_dot_product_attention(
-                q, k, v, scale=self.scale, bias=bias, mask=attn_mask,
-                causal=self.causal,
-            )
-        out = self.dropout(out)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.heads * self.head_dim)
+                q_nhd.transpose(0, 2, 1, 3), k, v, scale=self.scale,
+                bias=bias, mask=attn_mask, causal=self.causal,
+            ).transpose(0, 2, 1, 3)
+        out = self.dropout(out)  # (B, N, H, D)
+        out = out.reshape(b, n, self.heads * self.head_dim)
         out = self.to_out(out)
 
         if mask is not None:

@@ -11,16 +11,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import nnx
 
+from .policy import get_compute_dtype
+
 
 class LayerNorm(nnx.Module):
     """LayerNorm accepting (and ignoring) a ``condition`` argument so that
-    adaptive and plain norms are interchangeable inside transformer layers."""
+    adaptive and plain norms are interchangeable inside transformer layers.
+
+    Statistics are computed in f32; under a bf16 compute policy the OUTPUT is
+    cast to bf16 inside the same XLA fusion. The consumers (q/k/v and FF
+    projections) are bf16 matmuls that would perform the identical cast
+    anyway, so numerics are unchanged — but the materialized (B, L, D)
+    intermediate written to HBM is half the bytes (profiled: the 13 pre-norm
+    LN fusions were ~9% of the train step as f32 stores)."""
 
     def __init__(self, dim: int, bias: bool = True, eps: float = 1e-5, *, rngs: nnx.Rngs):
         self.norm = nnx.LayerNorm(dim, epsilon=eps, use_bias=bias, rngs=rngs)
+        self.out_dtype = get_compute_dtype()
 
     def __call__(self, x: jnp.ndarray, condition: jnp.ndarray | None = None) -> jnp.ndarray:
-        return self.norm(x)
+        out = self.norm(x)
+        if self.out_dtype is not None:
+            out = out.astype(self.out_dtype)
+        return out
 
 
 class AdaptiveLayerNorm(nnx.Module):
@@ -34,6 +47,7 @@ class AdaptiveLayerNorm(nnx.Module):
     def __init__(self, dim: int, condition_dim: int, bias: bool = True,
                  eps: float = 1e-5, *, rngs: nnx.Rngs):
         self.eps = eps
+        self.out_dtype = get_compute_dtype()
         self.weight = nnx.Linear(
             condition_dim, dim, kernel_init=nnx.initializers.zeros_init(),
             bias_init=nnx.initializers.ones_init(), rngs=rngs,
@@ -51,13 +65,15 @@ class AdaptiveLayerNorm(nnx.Module):
         mean = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.var(x, axis=-1, keepdims=True)
         normed = (x - mean) / jnp.sqrt(var + self.eps)
-        if condition is None:
-            return normed
-        if condition.ndim == x.ndim - 1:
-            condition = condition[:, None, :]  # broadcast over sequence
-        weight = self.weight(condition)
-        bias = self.bias(condition) if self.bias is not None else 0.0
-        return weight * normed + bias
+        if condition is not None:
+            if condition.ndim == x.ndim - 1:
+                condition = condition[:, None, :]  # broadcast over sequence
+            weight = self.weight(condition)
+            bias = self.bias(condition) if self.bias is not None else 0.0
+            normed = weight * normed + bias
+        if self.out_dtype is not None:
+            normed = normed.astype(self.out_dtype)  # see LayerNorm docstring
+        return normed
 
 
 class MaskedBatchNorm1d(nnx.Module):

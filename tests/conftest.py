@@ -10,10 +10,15 @@ CPU via jax.config AFTER import (env vars alone are ignored).
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+if os.environ.get("ISP_TTS_TPU_TESTS") == "1":
+    # opt-out: run on the real accelerator so @requires_tpu tests execute
+    # (e.g. ISP_TTS_TPU_TESTS=1 pytest tests/test_flash_attention.py)
+    pass
+else:
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-import jax  # noqa: E402
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

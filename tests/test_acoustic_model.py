@@ -1,3 +1,4 @@
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -163,3 +164,38 @@ def test_load_params_ignore_and_mismatch(tmp_path):
     # still finite / usable
     out, _ = model.infer(jnp.asarray([[1, 2, 3]], jnp.int32), max_dec_len=16, steps=1)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_ordered_ctc_matches_optax_with_grads():
+    """The banded ordered-label CTC (loss.py:_ordered_ctc_neg_logp) must
+    equal the generic optax.ctc_loss formulation — values and gradients —
+    on ragged text/mel lengths (incl. text_len == 1)."""
+    import optax
+
+    from isp_tts_tpu.models.acoustic.loss import attention_ctc_loss_fn
+    from isp_tts_tpu.utils.masks import get_mask_from_lengths
+
+    rng = np.random.RandomState(0)
+    B, M, T = 4, 61, 17
+    logits = jnp.asarray(rng.randn(B, M, T).astype(np.float32))
+    text_lens = jnp.asarray([17, 9, 1, 13], jnp.int32)
+    mel_lens = jnp.asarray([61, 40, 5, 33], jnp.int32)
+
+    def optax_version(attn_logits):
+        padded = jnp.pad(attn_logits, ((0, 0), (0, 0), (1, 0)),
+                         constant_values=-1.0)
+        logprobs = jax.nn.log_softmax(padded, axis=2)
+        labels = jnp.arange(1, T + 1, dtype=jnp.int32)[None].repeat(B, 0)
+        label_pad = (~get_mask_from_lengths(text_lens, T)).astype(jnp.float32)
+        labels = labels * (1 - label_pad.astype(jnp.int32))
+        logit_pad = (~get_mask_from_lengths(mel_lens, M)).astype(jnp.float32)
+        per = optax.ctc_loss(logprobs, logit_pad, labels, label_pad)
+        per = per / jnp.maximum(text_lens.astype(per.dtype), 1.0)
+        return jnp.mean(jnp.where(jnp.isfinite(per), per, 0.0))
+
+    a = attention_ctc_loss_fn(logits, text_lens, mel_lens)
+    b = optax_version(logits)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    ga = jax.grad(lambda x: attention_ctc_loss_fn(x, text_lens, mel_lens))(logits)
+    gb = jax.grad(optax_version)(logits)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)

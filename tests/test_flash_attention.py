@@ -86,3 +86,94 @@ def test_flash_interpret_mode_on_cpu():
     out_r = _ref_attn(q, k, v, slopes2, key_lens, D ** -0.5)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-5)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def _ref_attn_mqa(q_nhd, k, v, slopes2, key_lens, scale, offset=0):
+    """Oracle for the folded layout: transpose into the head-major reference."""
+    q = q_nhd.transpose(0, 2, 1, 3)
+    return _ref_attn(q, k[:, None], v[:, None], slopes2, key_lens, scale,
+                     offset).transpose(0, 2, 1, 3)
+
+
+@requires_tpu
+@pytest.mark.parametrize("n,m,offset,symmetric", [
+    (256, 256, 0, False), (96, 224, 128, False), (256, 256, 0, True)])
+def test_flash_mqa_matches_reference_with_grads(n, m, offset, symmetric):
+    """Folded-MQA kernel (B,N,H,D)/(B,M,D) vs einsum oracle, incl. ragged
+    key lengths, asym slopes, a cross-length offset, the symmetric
+    specialization (the production config), and all grads."""
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+    from isp_tts_tpu.ops.flash_attention import (
+        DEF_BLOCK_K_MQA, DEF_BLOCK_R, flash_attention_mqa)
+
+    rng = np.random.RandomState(0)
+    B, H, D = 2, 6, 64
+    q = jnp.asarray(rng.randn(B, n, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, m, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, m, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = (jnp.stack([sl, sl]) if symmetric
+               else jnp.stack([sl, sl * 0.5]))
+    key_lens = jnp.asarray([m, m - 57], jnp.int32)
+    scale = D ** -0.5
+
+    def run(q, k, v, s):
+        return flash_attention_mqa(q, k, v, s, key_lens, scale, offset,
+                                   DEF_BLOCK_R, DEF_BLOCK_K_MQA, symmetric)
+
+    def _ref(q, k, v, s):
+        if symmetric:
+            # the symmetric contract reads only s[0] (s[1] is unused, so its
+            # partial is zero); mirror that in the oracle
+            s = jnp.stack([s[0], s[0]])
+        return _ref_attn_mqa(q, k, v, s, key_lens, scale, offset)
+
+    out_f = run(q, k, v, slopes2)
+    out_r = _ref(q, k, v, slopes2)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=5e-3)
+
+    def loss_f(q, k, v, s):
+        return jnp.sum(run(q, k, v, s) ** 2)
+
+    def loss_r(q, k, v, s):
+        return jnp.sum(_ref(q, k, v, s) ** 2)
+
+    gf = jax.grad(loss_f, argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    for name, a, b in zip(("dq", "dk", "dv", "dslopes"), gf, gr):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 2e-2, f"{name} rel err {rel}"
+
+
+def test_flash_mqa_interpret_mode_on_cpu():
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode check is the CPU-side variant")
+    rng = np.random.RandomState(1)
+    B, H, N, D = 1, 3, 64, 64  # N*H=192: pads to an uneven row block
+    q = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl])
+    key_lens = jnp.asarray([N - 17], jnp.int32)
+
+    fa.INTERPRET = True
+    try:
+        out_f = fa.flash_attention_mqa(q, k, v, slopes2, key_lens, D ** -0.5)
+        grads = jax.grad(lambda q, k, v, s: jnp.sum(
+            fa.flash_attention_mqa(q, k, v, s, key_lens, D ** -0.5) ** 2),
+            argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    finally:
+        fa.INTERPRET = False
+    out_r = _ref_attn_mqa(q, k, v, slopes2, key_lens, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-5)
+
+    gr = jax.grad(lambda q, k, v, s: jnp.sum(
+        _ref_attn_mqa(q, k, v, s, key_lens, D ** -0.5) ** 2),
+        argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    for name, a, b in zip(("dq", "dk", "dv", "dslopes"), grads, gr):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 1e-3, f"{name} rel err {rel}"

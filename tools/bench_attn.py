@@ -19,7 +19,7 @@ import numpy as np
 
 from isp_tts_tpu.nn.embeddings import alibi_slopes
 from isp_tts_tpu.ops.attention import scaled_dot_product_attention
-from isp_tts_tpu.ops.flash_attention import flash_attention
+from isp_tts_tpu.ops.flash_attention import flash_attention, flash_attention_mqa
 
 
 def timeit(fn, args, n_small=2, n_large=12):
@@ -88,9 +88,21 @@ def main():
             return jnp.sum(dq) + jnp.sum(dk) + jnp.sum(dv) + jnp.sum(ds)
         return wrapped
 
-    for name, f in (("flash", flash_f), ("einsum", einsum_f)):
-        t_f = timeit(f, (q, k, v, slopes2))
-        t_b = timeit(grad_of(f), (q, k, v, slopes2))
+    q_nhd = jnp.asarray(np.ascontiguousarray(np.asarray(q.astype(jnp.float32)).transpose(0, 2, 1, 3)), dt)
+
+    from isp_tts_tpu.ops.flash_attention import DEF_BLOCK_K_MQA, DEF_BLOCK_R
+
+    def mqa_f(q, k, v, s):
+        # (B,N,H,D) in/out — the production layout, no transposes; symmetric
+        # slopes (the production config) take the specialized bias path
+        return flash_attention_mqa(q, k[:, 0], v[:, 0], s, key_lens, scale,
+                                   0, DEF_BLOCK_R, DEF_BLOCK_K_MQA, True)
+
+    for name, f, a in (("mqa", mqa_f, (q_nhd, k, v, slopes2)),
+                       ("flash", flash_f, (q, k, v, slopes2)),
+                       ("einsum", einsum_f, (q, k, v, slopes2))):
+        t_f = timeit(f, a)
+        t_b = timeit(grad_of(f), a)
         print(f"{name:7s} B={B} H={H} N={N} D={D} {args.dtype}: "
               f"fwd {t_f*1e3:.3f} ms   fwd+bwd {t_b*1e3:.3f} ms")
 

@@ -72,7 +72,14 @@ def main():
     ap.add_argument("--trace-dir", default="/tmp/traintrace")
     ap.add_argument("--n-small", type=int, default=2)
     ap.add_argument("--n-large", type=int, default=12)
+    ap.add_argument("--threefry", action="store_true",
+                    help="use the default threefry PRNG instead of rbg "
+                         "(the trainer defaults to fast_rng=rbg; bench the "
+                         "production configuration unless asked otherwise)")
     args = ap.parse_args()
+
+    if not args.threefry:  # match Trainer fast_rng=True (experiment.py)
+        jax.config.update("jax_default_prng_impl", "rbg")
 
     from flax import nnx
 

@@ -59,7 +59,11 @@ def parse_plane(buf):
         if fnum == 2:
             name = val.decode("utf-8", "replace")
         elif fnum == 3:
-            lines.append(val)
+            lname = ""
+            for lf, _lw, lv in fields(val):
+                if lf == 2:
+                    lname = lv.decode("utf-8", "replace")
+            lines.append((lname, val))
         elif fnum == 4:  # map<int64, XEventMetadata>
             kid, meta_name = None, ""
             for mf, _mw, mv in fields(val):
@@ -87,7 +91,36 @@ def parse_line_events(buf):
             yield mid, dur
 
 
-def summarize(trace_dir, top=40, pattern=None, include_host=False):
+CATEGORIES = (
+    ("matmul", re.compile(r"%(dot|convolution)|fusion.*(dot|conv)")),
+    ("fusion", re.compile(r"%(fusion|add|multiply|subtract|divide|exp|log|"
+                          r"tanh|select|compare|maximum|minimum|reduce|"
+                          r"broadcast|iota|concatenate|transpose|reshape|"
+                          r"bitcast|convert|negate|power|rsqrt|sqrt)")),
+    ("copy", re.compile(r"%(copy|slice-start|slice-done|copy-start|copy-done|"
+                        r"dynamic-slice|dynamic-update-slice|slice|gather|"
+                        r"scatter|pad)")),
+    ("custom-call", re.compile(r"%custom-call")),
+    ("while/control", re.compile(r"%(while|conditional|call|tuple|"
+                                 r"get-tuple-element|parameter|constant)")),
+    ("rng", re.compile(r"%rng")),
+    ("sort", re.compile(r"%sort")),
+)
+
+
+def categorize(op):
+    # pallas/mosaic kernels keep their jaxpr-derived names (%jvp__...) but
+    # always carry custom_call_target= in the HLO text
+    if "custom_call_target=" in op:
+        return "custom-call"
+    for cat, rx in CATEGORIES:
+        if rx.match(op):
+            return cat
+    return "other"
+
+
+def summarize(trace_dir, top=40, pattern=None, include_host=False,
+              line_filter="XLA Ops", steps=1):
     paths = sorted(glob.glob(os.path.join(
         trace_dir, "**", "*.xplane.pb"), recursive=True))
     if not paths:
@@ -98,6 +131,8 @@ def summarize(trace_dir, top=40, pattern=None, include_host=False):
 
     per_op = collections.Counter()
     per_op_count = collections.Counter()
+    per_cat = collections.Counter()
+    line_totals = collections.Counter()
     total = 0
     for fnum, _wt, val in fields(buf):
         if fnum != 1:  # XPlane
@@ -107,22 +142,39 @@ def summarize(trace_dir, top=40, pattern=None, include_host=False):
             name.startswith("/device:tpu")
         if not is_device and not include_host:
             continue
-        for line in lines:
+        for lname, line in lines:
+            ltot = 0
             for mid, dur in parse_line_events(line):
+                ltot += dur
+                if line_filter and line_filter not in lname:
+                    continue
                 op = ev_meta.get(mid, f"#{mid}")
                 per_op[op] += dur
                 per_op_count[op] += 1
+                per_cat[categorize(op)] += dur
                 total += dur
+            line_totals[f"{name} :: {lname}"] += ltot
+
+    print("\n## line totals (all planes/lines, for orientation)")
+    for ln, dur in line_totals.most_common(12):
+        print(f"  {ln[:76]:<76} {dur/1e9:9.3f} ms")
+
+    print(f"\n## category rollup (line filter: {line_filter!r}, "
+          f"/{steps} steps)")
+    for cat, dur in per_cat.most_common():
+        print(f"  {cat:<16} {dur/1e9:9.3f} ms total  "
+              f"{dur/1e9/steps:8.3f} ms/step  {100*dur/max(total,1):5.1f}%")
+    print(f"  {'TOTAL':<16} {total/1e9:9.3f} ms total  "
+          f"{total/1e9/steps:8.3f} ms/step")
 
     if pattern:
         rx = re.compile(pattern)
         per_op = collections.Counter(
             {k: v for k, v in per_op.items() if rx.search(k)})
-    print(f"{'op':<72} {'ms':>9} {'%':>6} {'count':>7}")
+    print(f"\n{'op':<72} {'ms':>9} {'%':>6} {'count':>7}")
     for op, dur in per_op.most_common(top):
         print(f"{op[:72]:<72} {dur/1e9:9.3f} {100*dur/max(total,1):6.2f} "
               f"{per_op_count[op]:7d}")
-    print(f"{'TOTAL (device planes, all lines)':<72} {total/1e9:9.3f}")
 
 
 if __name__ == "__main__":
@@ -131,5 +183,10 @@ if __name__ == "__main__":
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--re", dest="pattern", default=None)
     ap.add_argument("--host", action="store_true", dest="include_host")
+    ap.add_argument("--line", default="XLA Ops",
+                    help="only aggregate XLines whose name contains this")
+    ap.add_argument("--steps", type=int, default=1,
+                    help="divide totals by this many train steps")
     args = ap.parse_args()
-    summarize(args.trace_dir, args.top, args.pattern, args.include_host)
+    summarize(args.trace_dir, args.top, args.pattern, args.include_host,
+              args.line, args.steps)
