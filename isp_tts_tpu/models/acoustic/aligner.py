@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
-from ...nn.layers import choose_activation
+from ...nn.layers import FastDropout, choose_activation
 from ...ops.mas import monotonic_alignment_search
 from ...utils.masks import get_mask_from_lengths
 
@@ -65,7 +65,7 @@ class ConvBlock1D(nnx.Module):
         self.act = choose_activation(activation)
         norm_cls = choose_normalization(normalization)
         self.norm = norm_cls(out_channels) if norm_cls is not None else None
-        self.dropout = nnx.Dropout(dropout, rngs=rngs)
+        self.dropout = FastDropout(dropout, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray, mask: jnp.ndarray | None = None) -> jnp.ndarray:
         """x: (B, T, C_in); mask: (B, T) True=valid."""

@@ -22,6 +22,7 @@ from flax import nnx
 
 from ..ops.attention import scaled_dot_product_attention
 from .embeddings import LearnedALiBiBias
+from .layers import FastDropout
 from .policy import get_compute_dtype
 
 
@@ -60,7 +61,7 @@ class Attention(nnx.Module):
         self.to_q = nnx.Linear(cfg.dim, q_dim, use_bias=False, dtype=dtype, rngs=rngs)
         self.to_kv = nnx.Linear(context_dim, 2 * kv_dim, use_bias=False, dtype=dtype, rngs=rngs)
         self.to_out = nnx.Linear(q_dim, cfg.dim, use_bias=False, dtype=dtype, rngs=rngs)
-        self.dropout = nnx.Dropout(cfg.dropout, rngs=rngs)
+        self.dropout = FastDropout(cfg.dropout, rngs=rngs)
 
         alibi_heads = cfg.alibi_heads if cfg.alibi_heads is not None else cfg.heads
         if alibi_heads > cfg.heads:

@@ -11,7 +11,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 from flax import nnx
 
-from .layers import choose_activation
+from .layers import FastDropout, choose_activation
 from .policy import get_compute_dtype
 
 
@@ -40,7 +40,7 @@ class FeedForward(nnx.Module):
         )
         self.fc2 = nnx.Linear(cfg.inner_dim, cfg.dim, use_bias=cfg.bias,
                               dtype=dtype, rngs=rngs)
-        self.dropout = nnx.Dropout(cfg.dropout, rngs=rngs)
+        self.dropout = FastDropout(cfg.dropout, rngs=rngs)
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h = self.fc1(x)

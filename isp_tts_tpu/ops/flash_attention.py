@@ -535,9 +535,9 @@ def _mqa_fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
 
     @pl.when(ki * block_k < key_len)
     def _():
-        q = q_ref[0].astype(jnp.float32)  # (BR, D)
-        k = k_ref[0].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0].astype(jnp.float32)
+        q = q_ref[0]  # (BR, D) input dtype; f32 accumulate in the matmul
+        k = k_ref[0]  # (BK, D)
+        v = v_ref[0]
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -553,8 +553,12 @@ def _mqa_fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        # p cast to bf16 for the PV matmul (f32 accumulate): f32 MXU inputs
+        # run at half rate; p in [0,1] loses nothing that survives the bf16
+        # output cast anyway
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_ref[...] = m_new
 
     @pl.when(ki == n_k - 1)
@@ -586,10 +590,10 @@ def _mqa_dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
 
     @pl.when(ki * block_k < key_len)
     def _():
-        q = q_ref[0].astype(jnp.float32)
-        k = k_ref[0].astype(jnp.float32)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        do = do_ref[0]
         lse = lse_ref[0]  # (1, BR)
 
         dist, lower, h_col = _row_geometry(ri, ki, heads, offset,
@@ -609,7 +613,7 @@ def _mqa_dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         ds = jnp.where(valid, ds, 0.0)
 
         dq_acc_ref[...] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         ds_dist = ds * dist
         if symmetric:
@@ -657,13 +661,14 @@ def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
 
     @pl.when(ki * block_k < key_len)
     def _():
-        q = q_ref[0].astype(jnp.float32)  # (BR, D)
-        k = k_ref[0].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0].astype(jnp.float32)
-        do = do_ref[0].astype(jnp.float32)
-        o = o_ref[0].astype(jnp.float32)
+        q = q_ref[0]  # (BR, D)
+        k = k_ref[0]  # (BK, D)
+        v = v_ref[0]
+        do = do_ref[0]
+        o = o_ref[0]
         lse = lse_ref[0]  # (1, BR)
-        delta = jnp.sum(do * o, axis=1, keepdims=True)  # (BR, 1)
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=1, keepdims=True)  # (BR, 1)
 
         dist, lower, h_col = _row_geometry(ri, ki, heads, offset,
                                            block_r, block_k, symmetric)
@@ -677,7 +682,7 @@ def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         p = jnp.exp(s - lse[0][:, None])  # (BR, BK)
 
         dv_acc_ref[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (BK, D)
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
@@ -685,13 +690,163 @@ def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         ds = p * (dp - delta)
         ds = jnp.where(valid, ds, 0.0)
         dk_acc_ref[...] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
 
     @pl.when(ri == n_r - 1)
     def _():
         dk_ref[0] = dk_acc_ref[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc_ref[...].astype(dv_ref.dtype)
+
+
+def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
+                       o_ref, lse_ref, dq_ref, dk_ref, dv_ref,
+                       dslo_ref, dshi_ref, dk_acc_ref, dv_acc_ref, dsl_acc_ref,
+                       *, scale, offset, heads, block_r, block_k, symmetric):
+    """Single-pass backward for the n_k == 1 case (whole key axis resident):
+    s, p and dp are computed ONCE and feed dq, dk, dv and the slope grads —
+    5 matmuls instead of the 7 the dq + dkv kernel pair pays. Grid (B, n_r),
+    k/v blocks resident per batch element; dk/dv accumulate in scratch across
+    the consecutive row-block steps and emit on the last one."""
+    b = pl.program_id(0)
+    ri = pl.program_id(1)
+    n_r = pl.num_programs(1)
+
+    @pl.when(ri == 0)
+    def _():
+        dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
+        for i in range(2):
+            for h in range(heads):
+                dsl_acc_ref[i, h] = 0.0
+
+    key_len = key_lens_ref[b]
+    # all matmul operands stay in the input dtype (bf16 in training): f32
+    # MXU inputs run at half rate; accumulation is f32 via
+    # preferred_element_type. p/ds are cast to bf16 for their matmuls —
+    # p is in [0,1] and ds is a product of bounded terms, and the grad
+    # tests bound the end-to-end error at 2e-2 relative
+    q = q_ref[0]   # (BR, D)
+    k = k_ref[0]   # (BK, D)
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+    lse = lse_ref[0]                   # (1, BR)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)  # (BR, 1)
+
+    dist, lower, h_col = _row_geometry(ri, 0, heads, offset,
+                                       block_r, block_k, symmetric)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    s = s + _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+    valid = cols < key_len
+    s = jnp.where(valid, s, NEG_INF)
+    p = jnp.exp(s - lse[0][:, None])   # (BR, BK) f32
+    p_lo = p.astype(v.dtype)
+
+    dv_acc_ref[...] += jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    ds = jnp.where(valid, ds, 0.0)
+    ds_lo = ds.astype(k.dtype)
+
+    dq_ref[0] = (jax.lax.dot_general(
+        ds_lo, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+    dk_acc_ref[...] += jax.lax.dot_general(
+        ds_lo, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+
+    ds_dist = ds * dist
+    if symmetric:
+        row_lo = jnp.sum(ds_dist, axis=1, keepdims=True)
+        row_hi = None
+    else:
+        row_lo = jnp.sum(jnp.where(lower, ds_dist, 0.0), axis=1, keepdims=True)
+        row_hi = jnp.sum(jnp.where(lower, 0.0, ds_dist), axis=1, keepdims=True)
+    for h in range(heads):
+        sel = h_col == h
+        dsl_acc_ref[0, h] += jnp.sum(jnp.where(sel, row_lo, 0.0))
+        if not symmetric:
+            dsl_acc_ref[1, h] += jnp.sum(jnp.where(sel, row_hi, 0.0))
+
+    @pl.when(ri == n_r - 1)
+    def _():
+        dk_ref[0] = dk_acc_ref[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc_ref[...].astype(dv_ref.dtype)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        zero = jnp.zeros((8, 128), jnp.float32)
+        acc_lo, acc_hi = zero, zero
+        for h in range(heads):
+            at = (sub == 0) & (lane == h)
+            acc_lo = jnp.where(at, dsl_acc_ref[0, h], acc_lo)
+            acc_hi = jnp.where(at, dsl_acc_ref[1, h], acc_hi)
+        dslo_ref[0, 0] = acc_lo
+        dshi_ref[0, 0] = acc_hi
+
+
+def _mqa_bwd_fused(scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
+                   key_lens, slopes, H, block_r, block_k, n_r, dtypes):
+    B, Rp, D = q2.shape
+    Mp = kp.shape[1]
+    q_dtype, k_dtype, v_dtype = dtypes
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, n_r),
+        in_specs=[
+            pl.BlockSpec((1, block_r, D), lambda b, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r, D), lambda b, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_r, D), lambda b, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_r), lambda b, i, *_: (b, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_r, D), lambda b, i, *_: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda b, i, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, 128), lambda b, i, *_: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.SMEM((2, H), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_mqa_dfused_kernel, scale=scale, offset=offset,
+                          heads=H, block_r=block_r, block_k=block_k,
+                          symmetric=symmetric),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Rp, D), q_dtype),
+            jax.ShapeDtypeStruct((B, Mp, D), k_dtype),
+            jax.ShapeDtypeStruct((B, Mp, D), v_dtype),
+            jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
+        ],
+        interpret=INTERPRET,
+    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
+      q2, kp, vp, g2, o2, lse_p)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
@@ -790,6 +945,17 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, res, g):
     n_r, n_k = Rp // block_r, Mp // block_k
     # padded rows have q = dO = O = 0: p is finite, every contribution zero
     lse_p = _pad_axis(lse, 1, block_r)[:, None, :]
+
+    if n_k == 1:
+        # whole key axis resident: single fused kernel (5 matmuls vs 7)
+        dq2, dk, dv, dslo, dshi = _mqa_bwd_fused(
+            scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
+            key_lens, slopes, H, block_r, block_k, n_r,
+            (q.dtype, k.dtype, v.dtype))
+        dq = dq2[:, :R].reshape(B, N, H, D)
+        dslopes = jnp.stack([jnp.sum(dslo[:, :, 0, :H], axis=(0, 1)),
+                             jnp.sum(dshi[:, :, 0, :H], axis=(0, 1))])
+        return (dq, dk[:, :M], dv[:, :M], dslopes.astype(slopes.dtype), None)
 
     row_spec = pl.BlockSpec((1, block_r, D), lambda b, i, j, *_: (b, i, 0),
                             memory_space=pltpu.VMEM)

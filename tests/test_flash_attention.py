@@ -96,9 +96,14 @@ def _ref_attn_mqa(q_nhd, k, v, slopes2, key_lens, scale, offset=0):
 
 
 @requires_tpu
-@pytest.mark.parametrize("n,m,offset,symmetric", [
-    (256, 256, 0, False), (96, 224, 128, False), (256, 256, 0, True)])
-def test_flash_mqa_matches_reference_with_grads(n, m, offset, symmetric):
+@pytest.mark.parametrize("n,m,offset,symmetric,block_k", [
+    (256, 256, 0, False, None),    # fused single-pass backward (n_k == 1)
+    (96, 224, 128, False, None),   # ragged + cross-length offset, fused bwd
+    (256, 256, 0, True, None),     # symmetric specialization, fused bwd
+    (256, 256, 0, True, 128),      # forced streaming: two-kernel backward
+])
+def test_flash_mqa_matches_reference_with_grads(n, m, offset, symmetric,
+                                                block_k):
     """Folded-MQA kernel (B,N,H,D)/(B,M,D) vs einsum oracle, incl. ragged
     key lengths, asym slopes, a cross-length offset, the symmetric
     specialization (the production config), and all grads."""
@@ -117,9 +122,11 @@ def test_flash_mqa_matches_reference_with_grads(n, m, offset, symmetric):
     key_lens = jnp.asarray([m, m - 57], jnp.int32)
     scale = D ** -0.5
 
+    bk = block_k if block_k is not None else DEF_BLOCK_K_MQA
+
     def run(q, k, v, s):
         return flash_attention_mqa(q, k, v, s, key_lens, scale, offset,
-                                   DEF_BLOCK_R, DEF_BLOCK_K_MQA, symmetric)
+                                   DEF_BLOCK_R, bk, symmetric)
 
     def _ref(q, k, v, s):
         if symmetric:
@@ -177,3 +184,37 @@ def test_flash_mqa_interpret_mode_on_cpu():
     for name, a, b in zip(("dq", "dk", "dv", "dslopes"), grads, gr):
         rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
         assert rel < 1e-3, f"{name} rel err {rel}"
+
+
+@requires_tpu
+def test_flash_mqa_bf16_close_to_f32():
+    """The training dtype path (bf16 operands into the MXU, f32 accumulate,
+    p/ds cast to bf16 for their matmuls) must stay within bf16-roundoff of
+    the f32 kernel — outputs and input grads."""
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+    from isp_tts_tpu.ops.flash_attention import (
+        DEF_BLOCK_K_MQA, DEF_BLOCK_R, flash_attention_mqa)
+
+    rng = np.random.RandomState(3)
+    B, N, H, D = 2, 256, 6, 64
+    qf = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+    kf = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    vf = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl])
+    key_lens = jnp.asarray([N, N - 31], jnp.int32)
+    scale = D ** -0.5
+
+    def loss(q, k, v, s):
+        out = flash_attention_mqa(q, k, v, s, key_lens, scale, 0,
+                                  DEF_BLOCK_R, DEF_BLOCK_K_MQA, True)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2))(qf, kf, vf, slopes2)
+    g16 = jax.grad(loss, argnums=(0, 1, 2))(
+        qf.astype(jnp.bfloat16), kf.astype(jnp.bfloat16),
+        vf.astype(jnp.bfloat16), slopes2)
+    for name, a, b in zip(("dq", "dk", "dv"), g16, g32):
+        rel = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))
+                    / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 6e-2, f"{name} rel err {rel}"
