@@ -520,10 +520,38 @@ def _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower):
 
 def _mqa_fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
                     o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                    *, scale, offset, heads, block_r, block_k, symmetric):
+                    *, scale, offset, heads, block_r, block_k, symmetric,
+                    single_pass=False):
     b = pl.program_id(0)
     ri, ki = pl.program_id(1), pl.program_id(2)
     n_k = pl.num_programs(2)
+
+    def logits():
+        q = q_ref[0]  # (BR, D) input dtype; f32 accumulate in the matmul
+        k = k_ref[0]  # (BK, D)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        dist, lower, h_col = _row_geometry(ri, ki, heads, offset,
+                                           block_r, block_k, symmetric)
+        s = s + _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower)
+        cols = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        return jnp.where(cols < key_lens_ref[b], s, NEG_INF)
+
+    if single_pass:
+        # n_k == 1: plain softmax — no scratch init, no running-max rescale
+        # (the online bookkeeping is ~2 extra (BR, BK) passes per program)
+        v = v_ref[0]
+        s = logits()
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        acc = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0] = (m + jnp.log(l))[:, 0][None, :]
+        return
 
     @pl.when(ki == 0)
     def _():
@@ -535,18 +563,8 @@ def _mqa_fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
 
     @pl.when(ki * block_k < key_len)
     def _():
-        q = q_ref[0]  # (BR, D) input dtype; f32 accumulate in the matmul
-        k = k_ref[0]  # (BK, D)
         v = v_ref[0]
-
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        dist, lower, h_col = _row_geometry(ri, ki, heads, offset,
-                                           block_r, block_k, symmetric)
-        s = s + _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower)
-        cols = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1)
-        s = jnp.where(cols < key_len, s, NEG_INF)
+        s = logits()
 
         m_prev = m_ref[...]  # (BR, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -875,8 +893,12 @@ def _mqa_fwd(q, k, v, slopes, key_lens, scale, offset, block_r, block_k,
     B, N, H, D = q.shape
     M = k.shape[1]
     R = N * H
-    block_r = _pick_block(R, block_r)
-    block_k = _pick_block(M, block_k)
+    # the forward holds fewer live (block_r, block_k) f32 temporaries than
+    # the backward, so it can afford a wider key block: prefer a single key
+    # pass up to 1024 (serving decodes at max_dec_len 1024; streaming there
+    # cost ~40% per-call) and narrow the row block to stay inside VMEM
+    block_k = _pick_block(M, max(block_k, 1024))
+    block_r = _pick_block(R, 512 if block_k > 768 else block_r)
     q2 = _pad_axis(q.reshape(B, R, D), 1, block_r)
     kp = _pad_axis(k, 1, block_k)
     vp = _pad_axis(v, 1, block_k)
@@ -909,7 +931,7 @@ def _mqa_fwd(q, k, v, slopes, key_lens, scale, offset, block_r, block_k,
     out2, lse = pl.pallas_call(
         functools.partial(_mqa_fwd_kernel, scale=scale, offset=offset,
                           heads=H, block_r=block_r, block_k=block_k,
-                          symmetric=symmetric),
+                          symmetric=symmetric, single_pass=(n_k == 1)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Rp, D), q.dtype),
