@@ -77,6 +77,11 @@ def main(argv=None):
         key=jax.random.PRNGKey(args.seed),
     )
     n_frames = int(adaptor.dec_lengths[0])
+    if n_frames < 1:
+        # every predicted duration rounded to zero (untrained/degenerate
+        # model); keep one frame so the vocoder has something to invert
+        log.warning("model predicted 0 frames; emitting 1 frame of silence")
+        n_frames = 1
     mel = mel[:, :n_frames]
     log.info("acoustic: %d frames in %.3fs", n_frames, time.perf_counter() - t0)
 
@@ -99,6 +104,7 @@ def main(argv=None):
             audio = np.asarray(mel_to_audio(
                 jnp.asarray(np.asarray(mel[0])), sample_rate=args.sample_rate,
                 n_iter=args.griffin_lim_iters))
+        audio = np.nan_to_num(audio)  # degenerate mels (e.g. 1 silent frame)
         audio = np.clip(audio / max(np.abs(audio).max(), 1e-6) * 0.95, -1, 1)
     log.info("vocoder: %.2fs of audio in %.3fs",
              len(audio) / args.sample_rate, time.perf_counter() - t0)

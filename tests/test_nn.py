@@ -205,3 +205,29 @@ def test_attention_kv_cache_incremental():
         outs.append(out_t)
     inc = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(full), atol=1e-5)
+
+
+def test_fast_dropout_mask_regeneration():
+    """_dropout_regen's backward regenerates the same keep mask from the
+    key: dx zeros line up exactly with y zeros and the scale matches; the
+    module is the identity in eval mode."""
+    import jax
+
+    from isp_tts_tpu.nn.layers import FastDropout, _dropout_regen
+
+    key = jax.random.key(7)
+    x = jnp.ones((64, 128), jnp.float32)
+    y, vjp = jax.vjp(lambda xx: _dropout_regen(xx, key, 0.25), x)
+    (dx,) = vjp(jnp.ones_like(y))
+    y, dx = np.asarray(y), np.asarray(dx)
+    np.testing.assert_array_equal(y == 0.0, dx == 0.0)
+    nz = y != 0.0
+    assert nz.any() and (~nz).any()
+    np.testing.assert_allclose(y[nz], dx[nz], rtol=1e-6)
+    # keep fraction ~ round(0.75*256)/256
+    assert abs(nz.mean() - 192 / 256) < 0.03
+
+    drop = FastDropout(0.25, rngs=nnx.Rngs(0, dropout=7))
+    assert not np.array_equal(np.asarray(drop(x)), np.asarray(x))
+    drop.eval()
+    np.testing.assert_array_equal(np.asarray(drop(x)), np.asarray(x))
