@@ -62,9 +62,11 @@ def _keep_mask(key, rate, shape):
     quantizes to round((1-rate)*256)/256 — e.g. rate 0.1 keeps with p=0.8984
     instead of 0.9 — an imperceptible shift of a REGULARIZATION knob, not a
     numerics contract (eval/parity paths never run dropout)."""
-    bits = jax.random.bits(key, shape, jnp.uint8)
     thresh = int(round((1.0 - rate) * 256.0))
-    return bits < jnp.uint8(min(thresh, 255))
+    if thresh >= 256:  # rate < 1/512 rounds to keep-everything, not drop-1/256
+        return jnp.ones(shape, bool)
+    bits = jax.random.bits(key, shape, jnp.uint8)
+    return bits < jnp.uint8(thresh)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

@@ -62,9 +62,10 @@ class AdaptiveLayerNorm(nnx.Module):
         )
 
     def __call__(self, x: jnp.ndarray, condition: jnp.ndarray | None = None) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        normed = (x - mean) / jnp.sqrt(var + self.eps)
+        xf = x.astype(jnp.float32)  # statistics in f32 even on a bf16 stream
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        normed = (xf - mean) / jnp.sqrt(var + self.eps)
         if condition is not None:
             if condition.ndim == x.ndim - 1:
                 condition = condition[:, None, :]  # broadcast over sequence

@@ -719,7 +719,7 @@ def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
 
 def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
                        o_ref, lse_ref, dq_ref, dk_ref, dv_ref,
-                       dslo_ref, dshi_ref, dk_acc_ref, dv_acc_ref, dsl_acc_ref,
+                       dslo_ref, dshi_ref, dk_acc_ref, dv_acc_ref,
                        *, scale, offset, heads, block_r, block_k, symmetric):
     """Single-pass backward for the n_k == 1 case (whole key axis resident):
     s, p and dp are computed ONCE and feed dq, dk, dv and the slope grads —
@@ -734,9 +734,6 @@ def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
     def _():
         dk_acc_ref[...] = jnp.zeros_like(dk_acc_ref)
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
-        for i in range(2):
-            for h in range(heads):
-                dsl_acc_ref[i, h] = 0.0
 
     key_len = key_lens_ref[b]
     # all matmul operands stay in the input dtype (bf16 in training): f32
@@ -788,26 +785,26 @@ def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
     else:
         row_lo = jnp.sum(jnp.where(lower, ds_dist, 0.0), axis=1, keepdims=True)
         row_hi = jnp.sum(jnp.where(lower, 0.0, ds_dist), axis=1, keepdims=True)
+    # every program owns its (b, ri) slope-grad block and MUST write it —
+    # the host sums over all blocks, and unwritten output blocks are
+    # undefined memory (zero on hardware by luck, NaN in interpret mode)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    zero = jnp.zeros((8, 128), jnp.float32)
+    acc_lo, acc_hi = zero, zero
     for h in range(heads):
         sel = h_col == h
-        dsl_acc_ref[0, h] += jnp.sum(jnp.where(sel, row_lo, 0.0))
+        at = (sub == 0) & (lane == h)
+        acc_lo = jnp.where(at, jnp.sum(jnp.where(sel, row_lo, 0.0)), acc_lo)
         if not symmetric:
-            dsl_acc_ref[1, h] += jnp.sum(jnp.where(sel, row_hi, 0.0))
+            acc_hi = jnp.where(at, jnp.sum(jnp.where(sel, row_hi, 0.0)), acc_hi)
+    dslo_ref[0, 0] = acc_lo
+    dshi_ref[0, 0] = acc_hi
 
     @pl.when(ri == n_r - 1)
     def _():
         dk_ref[0] = dk_acc_ref[...].astype(dk_ref.dtype)
         dv_ref[0] = dv_acc_ref[...].astype(dv_ref.dtype)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-        zero = jnp.zeros((8, 128), jnp.float32)
-        acc_lo, acc_hi = zero, zero
-        for h in range(heads):
-            at = (sub == 0) & (lane == h)
-            acc_lo = jnp.where(at, dsl_acc_ref[0, h], acc_lo)
-            acc_hi = jnp.where(at, dsl_acc_ref[1, h], acc_hi)
-        dslo_ref[0, 0] = acc_lo
-        dshi_ref[0, 0] = acc_hi
 
 
 def _mqa_bwd_fused(scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
@@ -847,7 +844,6 @@ def _mqa_bwd_fused(scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
         scratch_shapes=[
             pltpu.VMEM((block_k, D), jnp.float32),
             pltpu.VMEM((block_k, D), jnp.float32),
-            pltpu.SMEM((2, H), jnp.float32),
         ],
     )
     return pl.pallas_call(
@@ -896,8 +892,13 @@ def _mqa_fwd(q, k, v, slopes, key_lens, scale, offset, block_r, block_k,
     # the forward holds fewer live (block_r, block_k) f32 temporaries than
     # the backward, so it can afford a wider key block: prefer a single key
     # pass up to 1024 (serving decodes at max_dec_len 1024; streaming there
-    # cost ~40% per-call) and narrow the row block to stay inside VMEM
-    block_k = _pick_block(M, max(block_k, 1024))
+    # cost ~40% per-call) and narrow the row block to stay inside VMEM.
+    # Only the DEFAULT block is widened — an explicit smaller block_k (tests
+    # forcing the streamed online-softmax path) is honored as given
+    if block_k == DEF_BLOCK_K_MQA:
+        block_k = _pick_block(M, max(block_k, 1024))
+    else:
+        block_k = _pick_block(M, block_k)
     block_r = _pick_block(R, 512 if block_k > 768 else block_r)
     q2 = _pad_axis(q.reshape(B, R, D), 1, block_r)
     kp = _pad_axis(k, 1, block_k)

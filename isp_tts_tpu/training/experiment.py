@@ -96,9 +96,9 @@ class ExperimentModules:
         if trainer_cfg.fast_rng:
             jax.config.update("jax_default_prng_impl", "rbg")
         if trainer_cfg.compilation_cache:
-            cache_dir = str(Path(trainer_cfg.compilation_cache).expanduser())
-            Path(cache_dir).mkdir(parents=True, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            from ..utils.compile_cache import enable_compile_cache
+
+            enable_compile_cache(trainer_cfg.compilation_cache)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         self.train_dataset = self.build_dataset("train")
         self.eval_dataset = self.build_dataset("eval")

@@ -218,3 +218,38 @@ def test_flash_mqa_bf16_close_to_f32():
         rel = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b))
                     / (jnp.max(jnp.abs(b)) + 1e-9))
         assert rel < 6e-2, f"{name} rel err {rel}"
+
+
+def test_flash_mqa_interpret_multi_rowblock_slope_grads():
+    """n_r > 1 exercises per-row-block slope-gradient output blocks in the
+    FUSED backward — a regression test for blocks 0..n_r-2 being left
+    unwritten (undefined memory; NaN in interpret mode)."""
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode check is the CPU-side variant")
+    rng = np.random.RandomState(2)
+    B, H, N, D = 1, 6, 256, 64  # R = 1536 -> n_r = 2 at block_r 768
+    q = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl * 0.5])
+    key_lens = jnp.asarray([N - 19], jnp.int32)
+
+    def loss(fn):
+        return lambda q, k, v, s: jnp.sum(fn(q, k, v, s, key_lens, D ** -0.5) ** 2)
+
+    fa.INTERPRET = True
+    try:
+        gf = jax.grad(loss(fa.flash_attention_mqa), argnums=(0, 1, 2, 3))(
+            q, k, v, slopes2)
+    finally:
+        fa.INTERPRET = False
+    gr = jax.grad(loss(lambda *a: _ref_attn_mqa(*a)), argnums=(0, 1, 2, 3))(
+        q, k, v, slopes2)
+    for name, a, b in zip(("dq", "dk", "dv", "dslopes"), gf, gr):
+        assert np.isfinite(np.asarray(a)).all(), f"{name} not finite"
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 1e-3, f"{name} rel err {rel}"

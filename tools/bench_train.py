@@ -26,20 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _enable_compile_cache():
-    """Persistent XLA compilation cache: repeat runs (incl. the driver's)
-    skip the multi-minute fresh compile on this 1-CPU box."""
-    import os
+from isp_tts_tpu.utils.compile_cache import enable_compile_cache
 
-    import jax
-
-    cache = os.path.expanduser("~/.cache/isp_tts_tpu/xla")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-_enable_compile_cache()
+enable_compile_cache()
 
 
 def build(batch, text_len, mel_len, seed=0):

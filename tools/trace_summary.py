@@ -92,7 +92,7 @@ def parse_line_events(buf):
 
 
 CATEGORIES = (
-    ("matmul", re.compile(r"%(dot|convolution)|fusion.*(dot|conv)")),
+    ("matmul", re.compile(r"%(dot|convolution)\b")),
     ("fusion", re.compile(r"%(fusion|add|multiply|subtract|divide|exp|log|"
                           r"tanh|select|compare|maximum|minimum|reduce|"
                           r"broadcast|iota|concatenate|transpose|reshape|"
@@ -146,7 +146,10 @@ def summarize(trace_dir, top=40, pattern=None, include_host=False,
             ltot = 0
             for mid, dur in parse_line_events(line):
                 ltot += dur
-                if line_filter and line_filter not in lname:
+                if line_filter and lname != line_filter:
+                    # exact match: 'XLA Ops' must NOT swallow 'Async XLA Ops'
+                    # (async DMA windows overlap compute and would double
+                    # count as serialized device time)
                     continue
                 op = ev_meta.get(mid, f"#{mid}")
                 per_op[op] += dur
