@@ -140,8 +140,13 @@ def attention_ctc_loss_fn(attn_logits: jnp.ndarray, text_lens: jnp.ndarray,
     per_example = _ordered_ctc_neg_logp(logprobs, text_lens, mel_lens)
     # torch nn.CTCLoss(reduction='mean'): divide by target length, then mean
     per_example = per_example / jnp.maximum(text_lens.astype(per_example.dtype), 1.0)
-    # zero_infinity=True semantics
-    per_example = jnp.where(jnp.isfinite(per_example), per_example, 0.0)
+    # zero_infinity=True semantics. The banded recurrence never produces an
+    # actual inf — an infeasible alignment surfaces as ~1e30 via the NEG
+    # sentinel — so gate on the only infeasible case for ordered labels
+    # (mel shorter than text) in addition to the finiteness check.
+    feasible = mel_lens >= text_lens
+    per_example = jnp.where(
+        feasible & jnp.isfinite(per_example), per_example, 0.0)
     return jnp.mean(per_example)
 
 

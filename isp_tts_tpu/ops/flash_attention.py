@@ -545,6 +545,12 @@ def _mqa_fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
         s = logits()
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
+        # key_len == 0: every logit is NEG_INF so m = NEG_INF and p = 1
+        # everywhere — zero p on invalid columns so the output is ~0 (matching
+        # the streamed path, which skips such blocks entirely)
+        cols = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, block_k), 1)
+        p = jnp.where(cols < key_lens_ref[b], p, 0.0)
         l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),

@@ -87,7 +87,11 @@ def _bwd_kernel(diag_ref, text_lens_ref, mel_lens_ref, path_ref, j_ref,
         diag_j = jnp.sum(jnp.where(onehot, diag_row, 0.0), axis=1,
                          keepdims=True)  # (B, 1)
         active = jnp.logical_and(i < mel_lens, i > 0)
-        j_ref[...] = j - jnp.where(active, diag_j.astype(jnp.int32), 0)
+        # clamp at 0: diag[i, b, 0] should always be 0, but pathologically
+        # negative log-attn can underflow lp[0] past NEG_INF and flip it,
+        # which would silently walk j to -1 (all-zero onehot rows thereafter)
+        j_ref[...] = jnp.maximum(
+            j - jnp.where(active, diag_j.astype(jnp.int32), 0), 0)
 
 
 #: set True (tests) to run the kernels in Pallas interpreter mode on CPU

@@ -199,3 +199,26 @@ def test_ordered_ctc_matches_optax_with_grads():
     ga = jax.grad(lambda x: attention_ctc_loss_fn(x, text_lens, mel_lens))(logits)
     gb = jax.grad(optax_version)(logits)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-5)
+
+
+def test_ordered_ctc_zeroes_infeasible_samples():
+    """zero_infinity semantics with the banded CTC: an infeasible alignment
+    (mel_len < text_len) yields a huge-but-finite sentinel value, which must
+    be zeroed per-sample instead of exploding the batch mean (advisor fix)."""
+    from isp_tts_tpu.models.acoustic.loss import attention_ctc_loss_fn
+
+    rng = np.random.RandomState(1)
+    B, M, T = 2, 40, 17
+    logits = jnp.asarray(rng.randn(B, M, T).astype(np.float32))
+    # sample 0 feasible, sample 1 infeasible (mel 5 < text 9)
+    text_lens = jnp.asarray([17, 9], jnp.int32)
+    mel_lens = jnp.asarray([40, 5], jnp.int32)
+
+    loss = attention_ctc_loss_fn(logits, text_lens, mel_lens)
+    only_feasible = attention_ctc_loss_fn(
+        logits[:1], text_lens[:1], mel_lens[:1])
+    # batch mean over 2 samples, the infeasible one contributing exactly 0
+    np.testing.assert_allclose(np.asarray(loss),
+                               np.asarray(only_feasible) / 2.0, rtol=1e-6)
+    g = jax.grad(lambda x: attention_ctc_loss_fn(x, text_lens, mel_lens))(logits)
+    assert np.isfinite(np.asarray(g)).all()

@@ -220,6 +220,38 @@ def test_flash_mqa_bf16_close_to_f32():
         assert rel < 6e-2, f"{name} rel err {rel}"
 
 
+def test_flash_mqa_single_pass_zero_key_len():
+    """Single-pass forward (n_k == 1) with a key_len == 0 batch element:
+    all logits are NEG_INF so the plain softmax would produce the column-mean
+    of v instead of ~0; the valid-column mask on p must zero it (advisor fix,
+    matching the streamed path which skips such blocks)."""
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode check is the CPU-side variant")
+    rng = np.random.RandomState(4)
+    B, H, N, D = 2, 2, 64, 64  # one key block -> single-pass kernel
+    q = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) + 1.0  # nonzero mean
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl])
+    key_lens = jnp.asarray([0, N], jnp.int32)
+
+    fa.INTERPRET = True
+    try:
+        out = fa.flash_attention_mqa(q, k, v, slopes2, key_lens, D ** -0.5)
+    finally:
+        fa.INTERPRET = False
+    out = np.asarray(out)
+    assert np.abs(out[0]).max() < 1e-6, "key_len==0 element must output ~0"
+    # the valid element still matches the oracle
+    out_r = np.asarray(_ref_attn_mqa(q[1:], k[1:], v[1:], slopes2,
+                                     key_lens[1:], D ** -0.5))
+    np.testing.assert_allclose(out[1:], out_r, atol=2e-5)
+
+
 def test_flash_mqa_interpret_multi_rowblock_slope_grads():
     """n_r > 1 exercises per-row-block slope-gradient output blocks in the
     FUSED backward — a regression test for blocks 0..n_r-2 being left

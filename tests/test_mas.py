@@ -87,3 +87,23 @@ def test_mas_pallas_interpret_matches_oracle():
         logits, tl, ml, interpret=True))
     oracle = mas_numpy(logits, tl, ml)
     np.testing.assert_array_equal(ours, oracle)
+
+
+def test_mas_pallas_pathological_log_attn_stays_in_bounds():
+    """Backtrack pointer clamp (advisor fix): log-attn so negative that the
+    accumulated DP value at column 0 underflows past the NEG_INF sentinel
+    must not walk the pointer below 0 / emit all-zero alignment rows."""
+    from isp_tts_tpu.ops.mas_pallas import monotonic_alignment_search_pallas
+
+    B, M, T = 2, 32, 8
+    logits = np.full((B, M, T), -1e8, np.float32)
+    # mild diagonal preference on top of the huge negative floor
+    i = np.arange(M)[:, None] / M
+    j = np.arange(T)[None, :] / T
+    logits += -1e6 * (i - j) ** 2
+    tl = np.array([8, 5], np.int32)
+    ml = np.array([32, 20], np.int32)
+    ours = np.asarray(monotonic_alignment_search_pallas(
+        logits, tl, ml, interpret=True))
+    for b in range(B):
+        _check_valid_path(ours[b], tl[b], ml[b])

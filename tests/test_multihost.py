@@ -1,0 +1,128 @@
+"""Executed multi-process (multi-host) integration test.
+
+Spawns TWO actual OS processes, each owning 4 virtual CPU devices, joined via
+`jax.distributed.initialize` — the real TPU-pod bring-up path
+(`parallel/mesh.py:161-171`). Each runs a full Trainer cycle: per-process
+loader shards -> `make_array_from_process_local_data` batches -> 2 epochs of
+training with barriered epoch checkpoints -> resume -> 1 more epoch. Then a
+single-process 8-device run on the same data/seed executes for comparison.
+
+Asserts (reference semantics: Accelerate process groups + wait_for_everyone +
+rank-0 checkpoint discipline, `tts/experiments/trainer.py:203-236,441,470,637`):
+- both workers exit cleanly and observe process_count()==2,
+- their loss histories agree exactly (SPMD: same global computation),
+- the 2-process loss history matches the 1-process 8-device run to fp
+  tolerance (global batch set is identical; only device reduction order and
+  the interleaved global batch layout differ),
+- ONLY rank 0 wrote checkpoint files, in both phases,
+- resume restored the optimizer-step count on both ranks.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from isp_tts_tpu.data.audio import write_wav
+
+SR = 22050
+WORKER = Path(__file__).parent / "multihost_worker.py"
+
+
+@pytest.fixture(scope="module")
+def toy_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh_ds")
+    (root / "wavs").mkdir()
+    rng = np.random.RandomState(0)
+    texts = ["hello there.", "nice day!", "how are you?", "fine thanks.",
+             "testing tts.", "one two three.", "red blue green.", "the end."]
+    lines = []
+    for i, text in enumerate(texts):
+        n = int(SR * (0.3 + 0.05 * (i % 4)))
+        t = np.arange(n) / SR
+        wav = 0.4 * np.sin(2 * np.pi * (130 + 20 * i) * t) + 0.03 * rng.randn(n)
+        write_wav(root / "wavs" / f"u{i}.wav", wav.astype(np.float32), SR)
+        lines.append(f"wavs/u{i}.wav|{text}")
+    (root / "meta.csv").write_text("\n".join(lines) + "\n")
+    return root
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _spawn(pid, nproc, port, root, outdir):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    repo = str(Path(__file__).parent.parent)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.Popen(
+        [sys.executable, str(WORKER), str(pid), str(nproc), str(port),
+         str(root), str(outdir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=repo, env=env,
+    )
+
+
+def _run_group(nproc, root, outdir, timeout=1500):
+    port = _free_port()
+    procs = [_spawn(i, nproc, port, root, outdir) for i in range(nproc)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, \
+            f"worker {p.args} failed:\n{out[-4000:]}"
+    results = []
+    for i in range(nproc):
+        with open(Path(outdir) / f"result_{nproc}p_{i}.json") as f:
+            results.append(json.load(f))
+    return results
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single_process(toy_root, tmp_path):
+    two = _run_group(2, toy_root, tmp_path / "mh2")
+    r0, r1 = two
+
+    # SPMD: every process computes the same global metrics
+    np.testing.assert_allclose(r0["phase1"]["losses"], r1["phase1"]["losses"],
+                               rtol=1e-6)
+    np.testing.assert_allclose(r0["phase2"]["losses"], r1["phase2"]["losses"],
+                               rtol=1e-6)
+    assert r0["phase1"]["global_step"] == r1["phase1"]["global_step"] == 2
+    assert r0["phase2"]["resumed_at"] == r1["phase2"]["resumed_at"] == 2
+    assert r0["phase2"]["global_step"] == r1["phase2"]["global_step"] == 3
+
+    # rank-0-only checkpoint write discipline, both phases
+    assert r0["phase1"]["checkpoint_writes"], "rank 0 wrote no checkpoints"
+    assert r0["phase2"]["checkpoint_writes"], "rank 0 wrote no final save"
+    assert r1["phase1"]["checkpoint_writes"] == []
+    assert r1["phase2"]["checkpoint_writes"] == []
+
+    # checkpoints landed on disk (barriered save; resume read them)
+    run_dir = Path(r0["phase1"]["run_dir"])
+    assert (run_dir / "checkpoint_last.ckpt").exists()
+    assert (run_dir / "trainer_state.json").exists()
+
+    # --- equivalence with a single-process 8-device run ---
+    one = _run_group(1, toy_root, tmp_path / "mh1")[0]
+    assert len(one["phase1"]["losses"]) == len(r0["phase1"]["losses"])
+    np.testing.assert_allclose(r0["phase1"]["losses"], one["phase1"]["losses"],
+                               rtol=5e-3)
+    np.testing.assert_allclose(r0["phase2"]["losses"], one["phase2"]["losses"],
+                               rtol=5e-3)
