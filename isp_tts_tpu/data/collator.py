@@ -29,6 +29,13 @@ class AcousticCollatorConfig:
     mel_pad_multiple: int = 64
     max_text_len: int | None = None
     max_mel_len: int | None = None
+    #: pad every batch to (max_text_len, max_mel_len) unconditionally.
+    #: REQUIRED in multi-process runs: each process collates only its local
+    #: shard, and bucketing by the local max would let processes disagree on
+    #: the padded shape of the same global batch (the global array assembly
+    #: then fails or silently misaligns). The Trainer forces this on when
+    #: jax.process_count() > 1.
+    fixed_shape: bool = False
 
 
 class AcousticCollator:
@@ -46,12 +53,19 @@ class AcousticCollator:
         text_lens = np.asarray([s.text_vector_len for s in batch], np.int32)
         mel_lens = np.asarray([s.mel_len for s in batch], np.int32)
 
-        T = round_up(int(text_lens.max()), cfg.text_pad_multiple)
-        M = round_up(int(mel_lens.max()), cfg.mel_pad_multiple)
-        if cfg.max_text_len is not None:
-            T = min(T, cfg.max_text_len)
-        if cfg.max_mel_len is not None:
-            M = min(M, cfg.max_mel_len)
+        if cfg.fixed_shape:
+            if cfg.max_text_len is None or cfg.max_mel_len is None:
+                raise ValueError(
+                    "fixed_shape collation requires max_text_len and "
+                    "max_mel_len (process-independent batch shapes)")
+            T, M = cfg.max_text_len, cfg.max_mel_len
+        else:
+            T = round_up(int(text_lens.max()), cfg.text_pad_multiple)
+            M = round_up(int(mel_lens.max()), cfg.mel_pad_multiple)
+            if cfg.max_text_len is not None:
+                T = min(T, cfg.max_text_len)
+            if cfg.max_mel_len is not None:
+                M = min(M, cfg.max_mel_len)
         text_lens = np.minimum(text_lens, T)
         mel_lens = np.minimum(mel_lens, M)
 

@@ -137,22 +137,34 @@ class Attention(nnx.Module):
                 attention_mask = attention_mask[None]
             attn_mask = attention_mask if attn_mask is None else attn_mask & attention_mask
 
+        # attention dropout acts on the post-softmax PROBABILITIES (reference
+        # attend.py) — in-kernel (mask regenerated in the backward from a
+        # seed) on the folded-MQA flash path, materialized on the einsum path
+        drop_rate = float(self.config.dropout)
+        drop_active = drop_rate > 0.0 and not self.dropout.deterministic
+
         use_flash = self.config.flash
         if use_flash == "auto":
             use_flash = (
                 "on"
                 if (jax.default_backend() not in ("cpu",)
-                    and attention_mask is None and not self.causal
-                    and context is None)
+                    and attention_mask is None and context is None)
                 else "off"
             )
-        if use_flash == "on" and (self.causal or attention_mask is not None):
-            # the fused kernel supports only key-length masking — forcing it
-            # with causal/explicit masks would silently drop them
+        if use_flash == "on" and drop_active and not self.one_kv_head:
+            # only the folded-MQA kernels implement in-kernel probability
+            # dropout; the per-head-grid family falls back to the einsum path
+            # for dropout-active training steps
+            use_flash = "off"
+        if use_flash == "on" and attention_mask is not None:
+            # the fused kernels support key-length + query-length + causal
+            # masking, which covers every mask this model assembles itself; an
+            # arbitrary explicit attention_mask cannot be streamed — forcing
+            # the kernel would silently drop it
             raise ValueError(
-                "flash='on' is incompatible with causal=True or an explicit "
-                "attention_mask (the fused kernel only supports key-length "
-                "masking); use flash='auto' or 'off'")
+                "flash='on' is incompatible with an explicit attention_mask "
+                "(the fused kernel supports key-length/query-length/causal "
+                "masking only); use flash='auto' or 'off'")
         if use_flash == "on":
             # fused Pallas path: ALiBi recomputed from slopes in-kernel
             if self.rel_pos is not None:
@@ -170,6 +182,10 @@ class Attention(nnx.Module):
             key_lens = (jnp.sum(key_mask.astype(jnp.int32), axis=-1)
                         if key_mask is not None
                         else jnp.full((b,), m, jnp.int32))
+            # query-side validity: rows past it emit exactly 0 from the
+            # kernel (matching the einsum path's output masking)
+            q_lens = (jnp.sum(mask.astype(jnp.int32), axis=-1)
+                      if mask is not None else None)
             if k.shape[1] == 1:
                 # MQA: folded-row kernel, zero transposes (see ops/flash_attention)
                 from ..ops.flash_attention import flash_attention_mqa
@@ -177,16 +193,23 @@ class Attention(nnx.Module):
                 from ..ops.flash_attention import DEF_BLOCK_K_MQA, DEF_BLOCK_R
 
                 sym = self.rel_pos.symmetric if self.rel_pos is not None else True
-                # static args positionally: custom_vjp rejects kwargs
+                seed = (jax.random.randint(self.dropout.rngs.dropout(), (),
+                                           0, 2**31 - 1, jnp.int32)
+                        if drop_active else None)
                 out = flash_attention_mqa(q_nhd, k[:, 0], v[:, 0], slopes2,
                                           key_lens, self.scale, m - n,
-                                          DEF_BLOCK_R, DEF_BLOCK_K_MQA, sym)
+                                          DEF_BLOCK_R, DEF_BLOCK_K_MQA, sym,
+                                          q_lens=q_lens, causal=self.causal,
+                                          dropout_rate=(drop_rate if drop_active
+                                                        else 0.0),
+                                          dropout_seed=seed)
             else:
                 from ..ops.flash_attention import flash_attention
 
                 out = flash_attention(
                     q_nhd.transpose(0, 2, 1, 3), k, v, slopes2, key_lens,
-                    self.scale, offset=m - n).transpose(0, 2, 1, 3)
+                    self.scale, offset=m - n, q_lens=q_lens,
+                    causal=self.causal).transpose(0, 2, 1, 3)
         else:
             bias = None
             if self.rel_pos is not None:
@@ -196,8 +219,10 @@ class Attention(nnx.Module):
             out = scaled_dot_product_attention(
                 q_nhd.transpose(0, 2, 1, 3), k, v, scale=self.scale,
                 bias=bias, mask=attn_mask, causal=self.causal,
+                dropout_rate=(drop_rate if drop_active else 0.0),
+                dropout_key=(self.dropout.rngs.dropout()
+                             if drop_active else None),
             ).transpose(0, 2, 1, 3)
-        out = self.dropout(out)  # (B, N, H, D)
         out = out.reshape(b, n, self.heads * self.head_dim)
         out = self.to_out(out)
 

@@ -27,6 +27,8 @@ def scaled_dot_product_attention(
     bias: jnp.ndarray | None = None,
     mask: jnp.ndarray | None = None,
     causal: bool = False,
+    dropout_rate: float = 0.0,
+    dropout_key: jnp.ndarray | None = None,
     implementation: str = "xla",
 ) -> jnp.ndarray:
     """Multi-head attention with additive bias and boolean masking.
@@ -39,6 +41,9 @@ def scaled_dot_product_attention(
       bias: additive attention bias broadcastable to (B, H, N, M) — e.g. ALiBi.
       mask: boolean, broadcastable to (B, H, N, M); True = attend.
       causal: apply a causal mask (offset so the last query sees all keys).
+      dropout_rate/dropout_key: dropout applied to the post-softmax
+        PROBABILITIES (reference attend.py drops the attention weights); keep
+        probability is 8-bit quantized like nn.layers.FastDropout.
 
     Returns:
       (B, H, N, D) attention output; fully-masked query rows are zeros.
@@ -79,6 +84,15 @@ def scaled_dot_product_attention(
         unnorm = jnp.where(mask, unnorm, 0.0)
     denom = jnp.sum(unnorm, axis=-1, keepdims=True)
     probs = (unnorm / jnp.maximum(denom, 1e-30)).astype(dtype)
+
+    if dropout_rate > 0.0 and dropout_key is not None:
+        thresh = int(round((1.0 - dropout_rate) * 256.0))
+        if thresh < 256:
+            bits = jax.random.bits(dropout_key, probs.shape, jnp.uint8)
+            probs = jnp.where(
+                bits < jnp.uint8(thresh),
+                probs * jnp.asarray(1.0 / (1.0 - dropout_rate), probs.dtype),
+                jnp.zeros((), probs.dtype))
 
     if multi_query:
         out = jnp.einsum("bhnm,bmd->bhnd", probs, vv)

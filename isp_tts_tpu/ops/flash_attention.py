@@ -62,8 +62,9 @@ def _bias_block(slopes_lo, slopes_hi, rows, cols, offset):
     return jnp.where(lower, slopes_lo * dist, slopes_hi * dist), dist, lower
 
 
-def _fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
-                m_ref, l_ref, acc_ref, *, scale, offset, block_q, block_k):
+def _fwd_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
+                o_ref, lse_ref, m_ref, l_ref, acc_ref,
+                *, scale, offset, block_q, block_k, causal):
     b, h = pl.program_id(0), pl.program_id(1)
     qi, ki = pl.program_id(2), pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -75,8 +76,12 @@ def _fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     key_len = key_lens_ref[b]
+    # causal: key blocks entirely above the block diagonal are skipped —
+    # the last row of this query block reaches keys <= row_max + offset
+    reach = (True if not causal
+             else ki * block_k <= (qi + 1) * block_q - 1 + offset)
 
-    @pl.when(ki * block_k < key_len)
+    @pl.when((ki * block_k < key_len) & reach)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
         k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
@@ -91,12 +96,18 @@ def _fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
         bias, _, _ = _bias_block(slopes_ref[0, h], slopes_ref[1, h],
                                  rows, cols, offset)
         s = s + bias
-        s = jnp.where(cols[None, :] < key_len, s, NEG_INF)
+        valid = cols[None, :] < key_len
+        if causal:
+            valid &= cols[None, :] <= rows[:, None] + offset
+        s = jnp.where(valid, s, NEG_INF)
 
         m_prev = m_ref[...]  # (BQ, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
+        # fully-masked rows: m_new = NEG_INF makes p = 1 everywhere; zero it
+        # so l stays 0 and the epilogue can emit o = 0, lse = +inf
+        p = jnp.where(valid, p, 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -104,15 +115,22 @@ def _fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     @pl.when(ki == n_k - 1)
     def _():
+        rows = qi * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, 1), 0)
+        # a row is live iff it is a valid query AND saw >= 1 valid key;
+        # dead rows emit o = 0 and lse = +inf so the backward recomputes
+        # p = exp(s - inf) = 0 with no special-casing
+        ok = (rows < q_lens_ref[b]) & (l_ref[...] > 0.0)
         l = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0, 0] = (acc_ref[...] / l).astype(o_ref.dtype)
-        lse_ref[0, 0] = (m_ref[...] + jnp.log(l))[:, 0][None, :]
+        o_ref[0, 0] = jnp.where(ok, acc_ref[...] / l, 0.0).astype(o_ref.dtype)
+        lse = jnp.where(ok, m_ref[...] + jnp.log(l), jnp.inf)
+        lse_ref[0, 0] = lse[:, 0][None, :]
 
 
-def _dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-               delta_ref, dq_ref, dslo_ref, dshi_ref,
+def _dq_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
+               do_ref, lse_ref, delta_ref, dq_ref, dslo_ref, dshi_ref,
                dq_acc_ref, dslo_acc_ref, dshi_acc_ref,
-               *, scale, offset, block_q, block_k):
+               *, scale, offset, block_q, block_k, causal):
     b, h = pl.program_id(0), pl.program_id(1)
     qi, ki = pl.program_id(2), pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -124,8 +142,10 @@ def _dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dshi_acc_ref[0, 0] = 0.0
 
     key_len = key_lens_ref[b]
+    reach = (True if not causal
+             else ki * block_k <= (qi + 1) * block_q - 1 + offset)
 
-    @pl.when(ki * block_k < key_len)
+    @pl.when((ki * block_k < key_len) & reach)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)
@@ -145,6 +165,8 @@ def _dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
         valid = cols[None, :] < key_len
+        if causal:
+            valid &= cols[None, :] <= rows[:, None] + offset
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[0][:, None])  # (BQ, BK)
 
@@ -170,9 +192,10 @@ def _dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dshi_ref[0, 0] = jnp.where(first, dshi_acc_ref[0, 0], 0.0)
 
 
-def _dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
-                delta_ref, dk_ref, dv_ref, dk_acc_ref, dv_acc_ref,
-                *, scale, offset, block_q, block_k):
+def _dkv_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
+                do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+                dk_acc_ref, dv_acc_ref,
+                *, scale, offset, block_q, block_k, causal):
     b, h = pl.program_id(0), pl.program_id(1)
     ki, qi = pl.program_id(2), pl.program_id(3)
     n_q = pl.num_programs(3)
@@ -183,8 +206,10 @@ def _dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
 
     key_len = key_lens_ref[b]
+    reach = (True if not causal
+             else ki * block_k <= (qi + 1) * block_q - 1 + offset)
 
-    @pl.when(ki * block_k < key_len)
+    @pl.when((ki * block_k < key_len) & reach)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)  # (BQ, D)
         k = k_ref[0, 0].astype(jnp.float32)  # (BK, D)
@@ -204,6 +229,8 @@ def _dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref, lse_ref,
                                 preferred_element_type=jnp.float32) * scale
         s = s + bias
         valid = cols[None, :] < key_len
+        if causal:
+            valid &= cols[None, :] <= rows[:, None] + offset
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[0][:, None])  # (BQ, BK)
 
@@ -237,9 +264,9 @@ def _pad_axis2(x, block):
 INTERPRET = False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def flash_attention(q, k, v, slopes, key_lens, scale, offset=0,
-                    block_q=DEF_BLOCK_Q, block_k=DEF_BLOCK_K):
+                    block_q=DEF_BLOCK_Q, block_k=DEF_BLOCK_K,
+                    q_lens=None, causal=False):
     """Streaming fused attention with ALiBi bias.
 
     Args:
@@ -249,12 +276,26 @@ def flash_attention(q, k, v, slopes, key_lens, scale, offset=0,
       key_lens: (B,) int32 valid key lengths.
       scale: logit scale (static).
       offset: ALiBi distance offset (static; keys lead queries by `offset`).
+      q_lens: optional (B,) int32 valid query lengths — rows past them emit
+        exactly 0 (and contribute nothing to any gradient).
+      causal: query n attends keys <= n + offset (static; reference
+        `attend.py:88-122` causal semantics); blocks above the diagonal are
+        skipped entirely.
 
     Returns:
       (B, H, N, D) in q's dtype.
     """
-    out, _ = _flash_fwd(q, k, v, slopes, key_lens, scale, offset,
-                        block_q, block_k)
+    if q_lens is None:
+        q_lens = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
+    return _flash_core(q, k, v, slopes, key_lens, q_lens, scale, offset,
+                       block_q, block_k, causal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _flash_core(q, k, v, slopes, key_lens, q_lens, scale, offset,
+                block_q, block_k, causal):
+    out, _ = _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
+                        block_q, block_k, causal)
     return out
 
 
@@ -269,7 +310,8 @@ def _kv_spec(Hkv, block_k, D, kv_axis):
     return pl.BlockSpec((1, 1, block_k, D), index, memory_space=pltpu.VMEM)
 
 
-def _flash_fwd(q, k, v, slopes, key_lens, scale, offset, block_q, block_k):
+def _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
+               block_q, block_k, causal):
     B, H, N, D = q.shape
     Hkv, M = k.shape[1], k.shape[2]
     block_q = _pick_block(N, block_q)
@@ -281,7 +323,7 @@ def _flash_fwd(q, k, v, slopes, key_lens, scale, offset, block_q, block_k):
     n_q, n_k = Np // block_q, Mp // block_k
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, H, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0),
@@ -303,27 +345,29 @@ def _flash_fwd(q, k, v, slopes, key_lens, scale, offset, block_q, block_k):
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, offset=offset,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, causal=causal),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
             jax.ShapeDtypeStruct((B, H, 1, Np), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32), qp, kp, vp)
+    )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
+      slopes.astype(jnp.float32), qp, kp, vp)
     out = out[:, :, :n_orig]
     lse = lse[:, :, 0, :n_orig]
-    return out, (q, k, v, slopes, key_lens, out, lse)
+    return out, (q, k, v, slopes, key_lens, q_lens, out, lse)
 
 
-def _flash_fwd_vjp(q, k, v, slopes, key_lens, scale, offset, block_q, block_k):
-    out, res = _flash_fwd(q, k, v, slopes, key_lens, scale, offset,
-                          block_q, block_k)
+def _flash_fwd_vjp(q, k, v, slopes, key_lens, q_lens, scale, offset,
+                   block_q, block_k, causal):
+    out, res = _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
+                          block_q, block_k, causal)
     return out, res
 
 
-def _flash_bwd(scale, offset, block_q, block_k, res, g):
-    q, k, v, slopes, key_lens, out, lse = res
+def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
+    q, k, v, slopes, key_lens, q_lens, out, lse = res
     B, H, N, D = q.shape
     Hkv, M = k.shape[1], k.shape[2]
     block_q = _pick_block(N, block_q)
@@ -345,7 +389,7 @@ def _flash_bwd(scale, offset, block_q, block_k, res, g):
 
     # ---- dq + dslope partials: stream key blocks, accumulate in scratch ----
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, H, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0),
@@ -375,7 +419,7 @@ def _flash_bwd(scale, offset, block_q, block_k, res, g):
     )
     dq, dslo, dshi = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, offset=offset,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, causal=causal),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
@@ -383,15 +427,15 @@ def _flash_bwd(scale, offset, block_q, block_k, res, g):
             jax.ShapeDtypeStruct((B, H, n_q * 8, 128), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
-      qp, kp, vp, gp, lse_p, delta_p)
+    )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
+      slopes.astype(jnp.float32), qp, kp, vp, gp, lse_p, delta_p)
     dq = dq[:, :, :n_orig]
     dslopes = jnp.stack([jnp.sum(dslo, axis=(0, 2, 3)),
                          jnp.sum(dshi, axis=(0, 2, 3))])  # (2, H)
 
     # ---- dk/dv: stream query blocks, accumulate in scratch ----
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, H, n_k, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, j, 0),
@@ -418,15 +462,15 @@ def _flash_bwd(scale, offset, block_q, block_k, res, g):
     )
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, offset=offset,
-                          block_q=block_q, block_k=block_k),
+                          block_q=block_q, block_k=block_k, causal=causal),
         grid_spec=grid_spec2,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
             jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
-      qp, kp, vp, gp, lse_p, delta_p)
+    )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
+      slopes.astype(jnp.float32), qp, kp, vp, gp, lse_p, delta_p)
     dk_h = dk_h[:, :, :M]
     dv_h = dv_h[:, :, :M]
     if Hkv == 1:  # MQA: sum head gradients
@@ -436,10 +480,10 @@ def _flash_bwd(scale, offset, block_q, block_k, res, g):
         dk = dk_h.astype(k.dtype)
         dv = dv_h.astype(v.dtype)
 
-    return dq, dk, dv, dslopes.astype(slopes.dtype), None
+    return dq, dk, dv, dslopes.astype(slopes.dtype), None, None
 
 
-flash_attention.defvjp(_flash_fwd_vjp, _flash_bwd)
+_flash_core.defvjp(_flash_fwd_vjp, _flash_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -478,9 +522,49 @@ def _pad_axis(x, axis, block):
     return x
 
 
+def dropout_thresh(rate: float) -> int:
+    """8-bit keep threshold: keep iff (hash >> 24) < thresh, i.e. keep
+    probability quantized to round((1-rate)*256)/256 — the same quantization
+    as nn.layers.FastDropout (a regularization knob, not a numerics
+    contract)."""
+    return int(round((1.0 - rate) * 256.0))
+
+
+def _keep_hash(idx, seed, thresh):
+    """Blocking-invariant dropout keep mask from GLOBAL element indices.
+
+    A murmur-style integer finalizer on (global_index + seed) — pure VPU int
+    ops, deterministic for a given (idx, seed) regardless of how the kernel
+    grid tiles the matrix, so the forward and both backward kernels (which
+    may use DIFFERENT block partitions of the same logits matrix) regenerate
+    bit-identical masks. Runs in interpret mode too (plain jnp ops)."""
+    u = idx.astype(jnp.uint32) + seed.astype(jnp.uint32)
+    u = u * jnp.uint32(2654435761)
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(0x45D9F3B)
+    u = u ^ (u >> 16)
+    return (u >> 24) < jnp.uint32(thresh)
+
+
+def _mqa_keep(seed_ref, b, ri, ki, block_r, block_k, r_true, m_true, thresh):
+    """(BR, BK) keep mask for a folded-MQA block from global (row, col).
+
+    Indexed by the UNPADDED dims (r_true, m_true): forward and backward pad
+    to different block multiples, so padded dims are not blocking-invariant.
+    Out-of-range (padded) positions collide with other indices, which is
+    harmless — they are masked to zero contribution everywhere."""
+    rows = ri * block_r + jax.lax.broadcasted_iota(
+        jnp.int32, (block_r, 1), 0)
+    cols = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1)
+    idx = (b * r_true + rows) * m_true + cols  # (BR, BK); uint32 wrap is fine
+    return _keep_hash(idx, seed_ref[0], thresh)
+
+
 def _row_geometry(ri, ki, heads, offset, block_r, block_k, symmetric=False):
     """Per-(row, col) ALiBi geometry for a folded block: distance matrix,
-    lower-triangle predicate, per-row head index (block_r, 1).
+    lower-triangle predicate, per-row head index and query position
+    (both (block_r, 1)).
 
     The integer work (//, %) runs on (block_r, 1) column vectors; only the
     two broadcasting comparisons materialize (block_r, block_k) arrays."""
@@ -492,7 +576,7 @@ def _row_geometry(ri, ki, heads, offset, block_r, block_k, symmetric=False):
     h_col = rows % heads  # (BR, 1)
     dist = -jnp.abs(cols - n - offset).astype(jnp.float32)
     lower = None if symmetric else (cols <= n + offset)
-    return dist, lower, h_col
+    return dist, lower, h_col, n
 
 
 def _row_slopes(slopes_ref, h_col, heads, symmetric):
@@ -518,45 +602,66 @@ def _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower):
     return jnp.where(lower, lo * dist, hi * dist)
 
 
-def _mqa_fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
+def _mqa_fwd_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
+                    q_ref, k_ref, v_ref,
                     o_ref, lse_ref, m_ref, l_ref, acc_ref,
                     *, scale, offset, heads, block_r, block_k, symmetric,
-                    single_pass=False):
+                    causal, drop=None, single_pass=False):
     b = pl.program_id(0)
     ri, ki = pl.program_id(1), pl.program_id(2)
     n_k = pl.num_programs(2)
+
+    def drop_p(p):
+        # probability dropout (reference attend.py drops the post-softmax
+        # weights): the normalizer l uses the UNdropped p; only the PV
+        # accumulation sees the dropped/rescaled probabilities
+        if drop is None:
+            return p
+        thresh, inv_keep, r_true, m_true = drop
+        keep = _mqa_keep(seed_ref, b, ri, ki, block_r, block_k,
+                         r_true, m_true, thresh)
+        return jnp.where(keep, p * inv_keep, 0.0)
 
     def logits():
         q = q_ref[0]  # (BR, D) input dtype; f32 accumulate in the matmul
         k = k_ref[0]  # (BK, D)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
-        dist, lower, h_col = _row_geometry(ri, ki, heads, offset,
-                                           block_r, block_k, symmetric)
+        dist, lower, h_col, n = _row_geometry(ri, ki, heads, offset,
+                                              block_r, block_k, symmetric)
         s = s + _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower)
         cols = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)
-        return jnp.where(cols < key_lens_ref[b], s, NEG_INF)
+        valid = cols < key_lens_ref[b]
+        if causal:
+            valid = valid & (cols <= n + offset)
+        return jnp.where(valid, s, NEG_INF), valid, n
+
+    def finalize(n, acc, m, l_raw):
+        # a row is live iff it is a valid query AND saw >= 1 valid key; dead
+        # rows emit o = 0 and lse = +inf so the backward's p = exp(s - lse)
+        # collapses to 0 with no special-casing
+        ok = (n < q_lens_ref[b]) & (l_raw > 0.0)
+        l = jnp.maximum(l_raw, 1e-30)
+        o_ref[0] = jnp.where(ok, acc / l, 0.0).astype(o_ref.dtype)
+        lse = jnp.where(ok, m + jnp.log(l), jnp.inf)
+        lse_ref[0] = lse[:, 0][None, :]
 
     if single_pass:
         # n_k == 1: plain softmax — no scratch init, no running-max rescale
         # (the online bookkeeping is ~2 extra (BR, BK) passes per program)
         v = v_ref[0]
-        s = logits()
+        s, valid, n = logits()
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
-        # key_len == 0: every logit is NEG_INF so m = NEG_INF and p = 1
-        # everywhere — zero p on invalid columns so the output is ~0 (matching
-        # the streamed path, which skips such blocks entirely)
-        cols = ki * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, block_k), 1)
-        p = jnp.where(cols < key_lens_ref[b], p, 0.0)
-        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-30)
+        # fully-masked rows: m = NEG_INF makes p = 1 everywhere — zero p on
+        # invalid positions so the output is ~0 (matching the streamed path)
+        p = jnp.where(valid, p, 0.0)
+        l_raw = jnp.sum(p, axis=1, keepdims=True)
         acc = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            drop_p(p).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[0] = (acc / l).astype(o_ref.dtype)
-        lse_ref[0] = (m + jnp.log(l))[:, 0][None, :]
+        finalize(n, acc, m, l_raw)
         return
 
     @pl.when(ki == 0)
@@ -566,36 +671,43 @@ def _mqa_fwd_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     key_len = key_lens_ref[b]
+    # causal: skip key blocks entirely above the diagonal — the last folded
+    # row of this block is query n_max = ((ri+1)*block_r - 1) // heads
+    reach = (True if not causal
+             else ki * block_k <= ((ri + 1) * block_r - 1) // heads + offset)
 
-    @pl.when(ki * block_k < key_len)
+    @pl.when((ki * block_k < key_len) & reach)
     def _():
         v = v_ref[0]
-        s = logits()
+        s, valid, _ = logits()
 
         m_prev = m_ref[...]  # (BR, 1)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)
+        p = jnp.where(valid, p, 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
         # p cast to bf16 for the PV matmul (f32 accumulate): f32 MXU inputs
         # run at half rate; p in [0,1] loses nothing that survives the bf16
         # output cast anyway
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            drop_p(p).astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_ref[...] = m_new
 
     @pl.when(ki == n_k - 1)
     def _():
-        l = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0] = (acc_ref[...] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[...] + jnp.log(l))[:, 0][None, :]
+        rows = ri * block_r + jax.lax.broadcasted_iota(
+            jnp.int32, (block_r, 1), 0)
+        finalize(rows // heads, acc_ref[...], m_ref[...], l_ref[...])
 
 
-def _mqa_dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
-                   o_ref, lse_ref, dq_ref, dslo_ref, dshi_ref,
+def _mqa_dq_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
+                   q_ref, k_ref, v_ref,
+                   do_ref, o_ref, lse_ref, dq_ref, dslo_ref, dshi_ref,
                    dq_acc_ref, delta_ref, dsl_acc_ref,
-                   *, scale, offset, heads, block_r, block_k, symmetric):
+                   *, scale, offset, heads, block_r, block_k, symmetric,
+                   causal, drop=None):
     b = pl.program_id(0)
     ri, ki = pl.program_id(1), pl.program_id(2)
     n_k = pl.num_programs(2)
@@ -611,8 +723,10 @@ def _mqa_dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         delta_ref[...] = jnp.sum(do * o, axis=1, keepdims=True)  # (BR, 1)
 
     key_len = key_lens_ref[b]
+    reach = (True if not causal
+             else ki * block_k <= ((ri + 1) * block_r - 1) // heads + offset)
 
-    @pl.when(ki * block_k < key_len)
+    @pl.when((ki * block_k < key_len) & reach)
     def _():
         q = q_ref[0]
         k = k_ref[0]
@@ -620,19 +734,28 @@ def _mqa_dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         do = do_ref[0]
         lse = lse_ref[0]  # (1, BR)
 
-        dist, lower, h_col = _row_geometry(ri, ki, heads, offset,
-                                           block_r, block_k, symmetric)
+        dist, lower, h_col, n = _row_geometry(ri, ki, heads, offset,
+                                              block_r, block_k, symmetric)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower)
         cols = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)
         valid = cols < key_len
+        if causal:
+            valid = valid & (cols <= n + offset)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[0][:, None])
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if drop is not None:
+            # probability dropout: d(probs) passes only through kept weights
+            # (delta = rowsum(do*o) already equals rowsum(dp_eff * p))
+            thresh, inv_keep, r_true, m_true = drop
+            keep = _mqa_keep(seed_ref, b, ri, ki, block_r, block_k,
+                             r_true, m_true, thresh)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta_ref[...])
         ds = jnp.where(valid, ds, 0.0)
 
@@ -669,9 +792,12 @@ def _mqa_dq_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         dshi_ref[0, 0] = acc_hi
 
 
-def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
-                    o_ref, lse_ref, dk_ref, dv_ref, dk_acc_ref, dv_acc_ref,
-                    *, scale, offset, heads, block_r, block_k, symmetric):
+def _mqa_dkv_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
+                    q_ref, k_ref, v_ref,
+                    do_ref, o_ref, lse_ref, dk_ref, dv_ref,
+                    dk_acc_ref, dv_acc_ref,
+                    *, scale, offset, heads, block_r, block_k, symmetric,
+                    causal, drop=None):
     b = pl.program_id(0)
     ki, ri = pl.program_id(1), pl.program_id(2)
     n_r = pl.num_programs(2)
@@ -682,8 +808,10 @@ def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         dv_acc_ref[...] = jnp.zeros_like(dv_acc_ref)
 
     key_len = key_lens_ref[b]
+    reach = (True if not causal
+             else ki * block_k <= ((ri + 1) * block_r - 1) // heads + offset)
 
-    @pl.when(ki * block_k < key_len)
+    @pl.when((ki * block_k < key_len) & reach)
     def _():
         q = q_ref[0]  # (BR, D)
         k = k_ref[0]  # (BK, D)
@@ -694,23 +822,34 @@ def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                         axis=1, keepdims=True)  # (BR, 1)
 
-        dist, lower, h_col = _row_geometry(ri, ki, heads, offset,
-                                           block_r, block_k, symmetric)
+        dist, lower, h_col, n = _row_geometry(ri, ki, heads, offset,
+                                              block_r, block_k, symmetric)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
         s = s + _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower)
         cols = ki * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, block_k), 1)
         valid = cols < key_len
+        if causal:
+            valid = valid & (cols <= n + offset)
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[0][:, None])  # (BR, BK)
 
+        if drop is None:
+            p_v = p
+        else:
+            thresh, inv_keep, r_true, m_true = drop
+            keep = _mqa_keep(seed_ref, b, ri, ki, block_r, block_k,
+                             r_true, m_true, thresh)
+            p_v = jnp.where(keep, p * inv_keep, 0.0)
         dv_acc_ref[...] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (BK, D)
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if drop is not None:
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta)
         ds = jnp.where(valid, ds, 0.0)
         dk_acc_ref[...] += jax.lax.dot_general(
@@ -723,10 +862,12 @@ def _mqa_dkv_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         dv_ref[0] = dv_acc_ref[...].astype(dv_ref.dtype)
 
 
-def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
-                       o_ref, lse_ref, dq_ref, dk_ref, dv_ref,
+def _mqa_dfused_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
+                       q_ref, k_ref,
+                       v_ref, do_ref, o_ref, lse_ref, dq_ref, dk_ref, dv_ref,
                        dslo_ref, dshi_ref, dk_acc_ref, dv_acc_ref,
-                       *, scale, offset, heads, block_r, block_k, symmetric):
+                       *, scale, offset, heads, block_r, block_k, symmetric,
+                       causal, drop=None):
     """Single-pass backward for the n_k == 1 case (whole key axis resident):
     s, p and dp are computed ONCE and feed dq, dk, dv and the slope grads —
     5 matmuls instead of the 7 the dq + dkv kernel pair pays. Grid (B, n_r),
@@ -756,16 +897,26 @@ def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
                     axis=1, keepdims=True)  # (BR, 1)
 
-    dist, lower, h_col = _row_geometry(ri, 0, heads, offset,
-                                       block_r, block_k, symmetric)
+    dist, lower, h_col, n = _row_geometry(ri, 0, heads, offset,
+                                          block_r, block_k, symmetric)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = s + _bias_term(slopes_ref, h_col, heads, symmetric, dist, lower)
     cols = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
     valid = cols < key_len
+    if causal:
+        valid = valid & (cols <= n + offset)
     s = jnp.where(valid, s, NEG_INF)
     p = jnp.exp(s - lse[0][:, None])   # (BR, BK) f32
-    p_lo = p.astype(v.dtype)
+
+    if drop is None:
+        p_v = p
+    else:
+        thresh, inv_keep, r_true, m_true = drop
+        keep = _mqa_keep(seed_ref, b, ri, 0, block_r, block_k,
+                         r_true, m_true, thresh)
+        p_v = jnp.where(keep, p * inv_keep, 0.0)
+    p_lo = p_v.astype(v.dtype)
 
     dv_acc_ref[...] += jax.lax.dot_general(
         p_lo, do, (((0,), (0,)), ((), ())),
@@ -773,6 +924,8 @@ def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
 
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if drop is not None:
+        dp = jnp.where(keep, dp * inv_keep, 0.0)
     ds = p * (dp - delta)
     ds = jnp.where(valid, ds, 0.0)
     ds_lo = ds.astype(k.dtype)
@@ -813,13 +966,14 @@ def _mqa_dfused_kernel(key_lens_ref, slopes_ref, q_ref, k_ref, v_ref, do_ref,
         dv_ref[0] = dv_acc_ref[...].astype(dv_ref.dtype)
 
 
-def _mqa_bwd_fused(scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
-                   key_lens, slopes, H, block_r, block_k, n_r, dtypes):
+def _mqa_bwd_fused(scale, offset, symmetric, causal, drop, q2, kp, vp, g2, o2,
+                   lse_p, key_lens, q_lens, seed, slopes, H, block_r, block_k,
+                   n_r, dtypes):
     B, Rp, D = q2.shape
     Mp = kp.shape[1]
     q_dtype, k_dtype, v_dtype = dtypes
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B, n_r),
         in_specs=[
             pl.BlockSpec((1, block_r, D), lambda b, i, *_: (b, i, 0),
@@ -855,7 +1009,7 @@ def _mqa_bwd_fused(scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
     return pl.pallas_call(
         functools.partial(_mqa_dfused_kernel, scale=scale, offset=offset,
                           heads=H, block_r=block_r, block_k=block_k,
-                          symmetric=symmetric),
+                          symmetric=symmetric, causal=causal, drop=drop),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Rp, D), q_dtype),
@@ -865,14 +1019,15 @@ def _mqa_bwd_fused(scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
             jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
+    )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
+      seed.astype(jnp.int32), slopes.astype(jnp.float32),
       q2, kp, vp, g2, o2, lse_p)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def flash_attention_mqa(q, k, v, slopes, key_lens, scale, offset=0,
                         block_r=DEF_BLOCK_R, block_k=DEF_BLOCK_K_MQA,
-                        symmetric=False):
+                        symmetric=False, q_lens=None, causal=False,
+                        dropout_rate=0.0, dropout_seed=None):
     """Folded multi-query flash attention with in-kernel ALiBi.
 
     Args:
@@ -881,17 +1036,49 @@ def flash_attention_mqa(q, k, v, slopes, key_lens, scale, offset=0,
       slopes: (2, H) lower/upper ALiBi slopes (zeros disable).
       key_lens: (B,) int32 valid key lengths.
       scale: logit scale (static). offset: key-lead offset (static).
+      q_lens: optional (B,) int32 valid query lengths — rows past them emit
+        exactly 0 and contribute nothing to any gradient.
+      causal: query n attends keys <= n + offset (static); key blocks fully
+        above the diagonal are skipped in forward AND both backwards.
+      dropout_rate: static; > 0 applies dropout to the post-softmax
+        PROBABILITIES (reference attend.py semantics), regenerated from
+        ``dropout_seed`` in the backward — nothing of shape (N*H, M) is ever
+        stored. Keep probability is 8-bit quantized (see dropout_thresh).
+      dropout_seed: int32 scalar array; required when dropout_rate > 0.
 
     Returns:
       (B, N, H, D) in q's dtype.
     """
-    out, _ = _mqa_fwd(q, k, v, slopes, key_lens, scale, offset,
-                      block_r, block_k, symmetric)
+    if q_lens is None:
+        q_lens = jnp.full((q.shape[0],), q.shape[1], jnp.int32)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
+    else:
+        dropout_seed = jnp.reshape(dropout_seed, (1,)).astype(jnp.int32)
+    return _mqa_core(q, k, v, slopes, key_lens, q_lens, dropout_seed,
+                     scale, offset, block_r, block_k, symmetric, causal,
+                     float(dropout_rate))
+
+
+def _drop_params(dropout_rate, R, M):
+    """Static kernel dropout spec: (thresh, 1/(1-rate), true R, true M)."""
+    if not dropout_rate:
+        return None
+    return (dropout_thresh(dropout_rate), 1.0 / (1.0 - dropout_rate), R, M)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
+def _mqa_core(q, k, v, slopes, key_lens, q_lens, seed, scale, offset,
+              block_r, block_k, symmetric, causal, dropout_rate):
+    out, _ = _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset,
+                      block_r, block_k, symmetric, causal, dropout_rate)
     return out
 
 
-def _mqa_fwd(q, k, v, slopes, key_lens, scale, offset, block_r, block_k,
-             symmetric=False):
+def _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset, block_r,
+             block_k, symmetric=False, causal=False, dropout_rate=0.0):
     B, N, H, D = q.shape
     M = k.shape[1]
     R = N * H
@@ -913,7 +1100,7 @@ def _mqa_fwd(q, k, v, slopes, key_lens, scale, offset, block_r, block_k,
     n_r, n_k = Rp // block_r, Mp // block_k
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B, n_r, n_k),
         in_specs=[
             pl.BlockSpec((1, block_r, D), lambda b, i, j, *_: (b, i, 0),
@@ -938,27 +1125,31 @@ def _mqa_fwd(q, k, v, slopes, key_lens, scale, offset, block_r, block_k,
     out2, lse = pl.pallas_call(
         functools.partial(_mqa_fwd_kernel, scale=scale, offset=offset,
                           heads=H, block_r=block_r, block_k=block_k,
-                          symmetric=symmetric, single_pass=(n_k == 1)),
+                          symmetric=symmetric, causal=causal,
+                          drop=_drop_params(dropout_rate, R, M),
+                          single_pass=(n_k == 1)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Rp, D), q.dtype),
             jax.ShapeDtypeStruct((B, 1, Rp), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32), q2, kp, vp)
+    )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
+      seed.astype(jnp.int32), slopes.astype(jnp.float32), q2, kp, vp)
     out = out2[:, :R].reshape(B, N, H, D)
     lse = lse[:, 0, :R]
-    return out, (q, k, v, slopes, key_lens, out, lse)
+    return out, (q, k, v, slopes, key_lens, q_lens, seed, out, lse)
 
 
-def _mqa_fwd_vjp(q, k, v, slopes, key_lens, scale, offset, block_r, block_k,
-                 symmetric):
-    return _mqa_fwd(q, k, v, slopes, key_lens, scale, offset, block_r,
-                    block_k, symmetric)
+def _mqa_fwd_vjp(q, k, v, slopes, key_lens, q_lens, seed, scale, offset,
+                 block_r, block_k, symmetric, causal, dropout_rate):
+    return _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset,
+                    block_r, block_k, symmetric, causal, dropout_rate)
 
 
-def _mqa_bwd(scale, offset, block_r, block_k, symmetric, res, g):
-    q, k, v, slopes, key_lens, out, lse = res
+def _mqa_bwd(scale, offset, block_r, block_k, symmetric, causal, dropout_rate,
+             res, g):
+    q, k, v, slopes, key_lens, q_lens, seed, out, lse = res
     B, N, H, D = q.shape
     M = k.shape[1]
     R = N * H
@@ -975,16 +1166,18 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, res, g):
     # padded rows have q = dO = O = 0: p is finite, every contribution zero
     lse_p = _pad_axis(lse, 1, block_r)[:, None, :]
 
+    drop = _drop_params(dropout_rate, R, M)
     if n_k == 1:
         # whole key axis resident: single fused kernel (5 matmuls vs 7)
         dq2, dk, dv, dslo, dshi = _mqa_bwd_fused(
-            scale, offset, symmetric, q2, kp, vp, g2, o2, lse_p,
-            key_lens, slopes, H, block_r, block_k, n_r,
+            scale, offset, symmetric, causal, drop, q2, kp, vp, g2, o2, lse_p,
+            key_lens, q_lens, seed, slopes, H, block_r, block_k, n_r,
             (q.dtype, k.dtype, v.dtype))
         dq = dq2[:, :R].reshape(B, N, H, D)
         dslopes = jnp.stack([jnp.sum(dslo[:, :, 0, :H], axis=(0, 1)),
                              jnp.sum(dshi[:, :, 0, :H], axis=(0, 1))])
-        return (dq, dk[:, :M], dv[:, :M], dslopes.astype(slopes.dtype), None)
+        return (dq, dk[:, :M], dv[:, :M], dslopes.astype(slopes.dtype),
+                None, None, None)
 
     row_spec = pl.BlockSpec((1, block_r, D), lambda b, i, j, *_: (b, i, 0),
                             memory_space=pltpu.VMEM)
@@ -994,7 +1187,7 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, res, g):
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B, n_r, n_k),
         in_specs=[row_spec, key_spec, key_spec, row_spec, row_spec, lse_spec],
         out_specs=[
@@ -1014,7 +1207,7 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, res, g):
     dq2, dslo, dshi = pl.pallas_call(
         functools.partial(_mqa_dq_kernel, scale=scale, offset=offset,
                           heads=H, block_r=block_r, block_k=block_k,
-                          symmetric=symmetric),
+                          symmetric=symmetric, causal=causal, drop=drop),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Rp, D), q.dtype),
@@ -1022,14 +1215,15 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, res, g):
             jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
         ],
         interpret=INTERPRET,
-    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
+    )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
+      seed.astype(jnp.int32), slopes.astype(jnp.float32),
       q2, kp, vp, g2, o2, lse_p)
     dq = dq2[:, :R].reshape(B, N, H, D)
     dslopes = jnp.stack([jnp.sum(dslo[:, :, 0, :H], axis=(0, 1)),
                          jnp.sum(dshi[:, :, 0, :H], axis=(0, 1))])
 
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(B, n_k, n_r),
         in_specs=[
             pl.BlockSpec((1, block_r, D), lambda b, i, j, *_: (b, j, 0),
@@ -1059,19 +1253,20 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, res, g):
     dk, dv = pl.pallas_call(
         functools.partial(_mqa_dkv_kernel, scale=scale, offset=offset,
                           heads=H, block_r=block_r, block_k=block_k,
-                          symmetric=symmetric),
+                          symmetric=symmetric, causal=causal, drop=drop),
         grid_spec=grid_spec2,
         out_shape=[
             jax.ShapeDtypeStruct((B, Mp, D), k.dtype),
             jax.ShapeDtypeStruct((B, Mp, D), v.dtype),
         ],
         interpret=INTERPRET,
-    )(key_lens.astype(jnp.int32), slopes.astype(jnp.float32),
+    )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
+      seed.astype(jnp.int32), slopes.astype(jnp.float32),
       q2, kp, vp, g2, o2, lse_p)
     dk = dk[:, :M]
     dv = dv[:, :M]
 
-    return dq, dk, dv, dslopes.astype(slopes.dtype), None
+    return dq, dk, dv, dslopes.astype(slopes.dtype), None, None, None
 
 
-flash_attention_mqa.defvjp(_mqa_fwd_vjp, _mqa_bwd)
+_mqa_core.defvjp(_mqa_fwd_vjp, _mqa_bwd)

@@ -16,6 +16,7 @@ process feeds its local shard of every batch
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -105,6 +106,8 @@ def shard_params(state, mesh: Mesh, rules: list[tuple[str, P]] | None = None):
     rules = DEFAULT_TP_RULES if rules is None else rules
     model_size = mesh.shape.get("model", 1)
 
+    multiprocess = jax.process_count() > 1
+
     def place(path, leaf):
         spec = P()
         name = _path_str(path)
@@ -121,7 +124,24 @@ def shard_params(state, mesh: Mesh, rules: list[tuple[str, P]] | None = None):
                 if p_axis == "model" and leaf.shape[axis] % model_size != 0:
                     spec = P()
                     break
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multiprocess:
+            # device_put rejects shardings spanning non-addressable devices;
+            # every process holds the full value (deterministic init), so each
+            # feeds its own addressable shards from it
+            if hasattr(leaf, "dtype") and jnp.issubdtype(
+                    leaf.dtype, jax.dtypes.prng_key):
+                # typed PRNG keys: globalize the underlying uint32 data
+                data = np.asarray(jax.random.key_data(leaf))
+                repl = NamedSharding(mesh, P())
+                arr = jax.make_array_from_callback(
+                    data.shape, repl, lambda idx, a=data: a[idx])
+                return jax.random.wrap_key_data(
+                    arr, impl=jax.random.key_impl(leaf))
+            host = np.asarray(leaf)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx, a=host: a[idx])
+        return jax.device_put(leaf, sharding)
 
     return jax.tree_util.tree_map_with_path(place, state)
 

@@ -124,10 +124,13 @@ class Synthesizer:
         max_len = max(e.vector_len for e in encoded)
         tb = self._bucket(max_len, self.config.text_buckets)
         # the frame budget must scale with slowed-down speech or the adaptor
-        # silently clips dec_lengths at the bucket
+        # silently clips dec_lengths at the bucket; the ESTIMATE clamps to the
+        # largest budget (it is a heuristic — actual saturation is detected
+        # from dec_lengths below and retried/warned)
         est_frames = int(max_len * self.config.frames_per_token
                          * max(duration_factor, 1.0))
-        fb = self._bucket(est_frames, self.config.frame_budgets)
+        fb = self._bucket(min(est_frames, self.config.frame_budgets[-1]),
+                          self.config.frame_budgets)
 
         B = len(texts)
         tokens = np.zeros((B, tb), np.int32)
@@ -136,11 +139,28 @@ class Synthesizer:
             tokens[i, : e.vector_len] = e.vector
             lens[i] = e.vector_len
 
-        fn = self._executable(tb, fb, B)
-        mel, dec_lens = fn(self._state, jnp.asarray(tokens), jnp.asarray(lens),
-                           jax.random.PRNGKey(seed),
-                           float(duration_factor), float(pitch_factor),
-                           float(pitch_delta))
+        budgets = self.config.frame_budgets
+        while True:
+            fn = self._executable(tb, fb, B)
+            mel, dec_lens = fn(self._state, jnp.asarray(tokens),
+                               jnp.asarray(lens), jax.random.PRNGKey(seed),
+                               float(duration_factor), float(pitch_factor),
+                               float(pitch_delta))
+            dec_lens = np.asarray(dec_lens)
+            # dec_lengths == budget means the adaptor CLAMPED the predicted
+            # durations at the bucket (documented clamp in the adaptor): a
+            # slow-speaking checkpoint would silently lose tail frames.
+            # Detect and rerun at the next budget; saturation of the largest
+            # bucket is surfaced, not swallowed.
+            saturated = bool((dec_lens >= fb).any())
+            if not saturated or fb >= budgets[-1]:
+                if saturated:
+                    logger.warning(
+                        "largest frame budget %d saturated (dec_lens=%s); "
+                        "tail frames may be clipped — extend "
+                        "SynthesizerConfig.frame_budgets", fb, dec_lens)
+                break
+            fb = self._bucket(fb + 1, budgets)
+            logger.info("frame budget saturated; retrying at %d", fb)
         mel = np.asarray(mel)
-        dec_lens = np.asarray(dec_lens)
         return [mel[i, : int(dec_lens[i])] for i in range(B)]

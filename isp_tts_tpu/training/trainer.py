@@ -112,6 +112,16 @@ class Trainer:
 
         # --- data ---
         self.collator = collator
+        if (self.num_processes > 1 and collator is not None
+                and hasattr(collator, "config")
+                and hasattr(collator.config, "fixed_shape")
+                and not collator.config.fixed_shape):
+            # each process collates only its local shard; bucket-by-local-max
+            # would let processes disagree on the same global batch's shape
+            collator.config.fixed_shape = True
+            logger.info("multi-process run: forcing fixed-shape collation "
+                        "(%s text x %s mel)", collator.config.max_text_len,
+                        collator.config.max_mel_len)
         self.train_loader = self._make_loader(train_dataset, config.batch_size,
                                               shuffle=config.shuffle) if train_dataset else None
         self.eval_loader = self._make_loader(eval_dataset, config.eval_batch_size,

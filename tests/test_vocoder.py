@@ -46,6 +46,35 @@ def test_griffin_lim_recovers_sine():
     assert abs(freqs[spec.argmax()] - 330.0) < 15.0
 
 
+def test_matmul_griffin_lim_equals_fft_version():
+    """The TPU-native matmul-DFT Griffin-Lim (no complex dtypes, no FFT ops,
+    no scatter) must match the FFT formulation to fp tolerance — same key,
+    same iterate sequence."""
+    import jax
+
+    from isp_tts_tpu.ops.vocoder import griffin_lim_matmul
+
+    audio = _sine(330.0, 4096)
+    mag = stft_magnitude(jnp.asarray(audio))
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(griffin_lim(mag, n_iter=6, key=key))
+    b = np.asarray(griffin_lim_matmul(mag, n_iter=6, key=key))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, atol=2e-3)
+
+
+def test_mel_to_audio_tpu_variant_recovers_sine():
+    from isp_tts_tpu.ops.vocoder import mel_to_audio_tpu
+
+    audio = _sine(220.0, 8192)
+    mel = log_mel_spectrogram(jnp.asarray(audio), SR).T
+    out = np.asarray(mel_to_audio_tpu(mel, SR, n_iter=8))
+    assert np.isfinite(out).all()
+    spec = np.abs(np.fft.rfft(out))
+    freqs = np.fft.rfftfreq(len(out), 1 / SR)
+    assert abs(freqs[spec.argmax()] - 220.0) < 15.0
+
+
 def test_mel_to_audio_end_to_end():
     audio = _sine(220.0, 8192)
     mel = log_mel_spectrogram(jnp.asarray(audio), SR).T
