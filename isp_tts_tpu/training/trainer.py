@@ -450,6 +450,12 @@ class Trainer:
                 logs.update(self.evaluator.on_eval_epoch_end(host_batch, outputs))
             except Exception as e:  # image logging must never kill training
                 logger.warning("eval image logging failed: %s", e)
+        # scalar eval metrics join the history (reference trainer.py keeps a
+        # log_history the notebook plots from); figures stay callback-only
+        scalars = {k: float(v) for k, v in logs.items()
+                   if isinstance(v, (int, float, np.floating))}
+        self.state.log_history.append(
+            {"step": self.state.global_step, **scalars})
         self.callbacks.on_log(self.config, self.state, self.control, logs=logs)
         self.callbacks.on_evaluate(self.config, self.state, self.control, metrics=logs)
 

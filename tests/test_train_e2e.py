@@ -101,6 +101,12 @@ def test_train_eval_checkpoint_resume(toy_root, tmp_path):
 
     losses = [h for h in trainer.state.log_history if "train_step/loss" in h]
     assert losses and np.isfinite(losses[-1]["train_step/loss"])
+    # eval metrics must land in log_history too (the trajectory the
+    # reference notebook plots); figures must not leak into it
+    evals = [h for h in trainer.state.log_history if "eval/loss" in h]
+    assert len(evals) == 2  # one per epoch
+    assert "eval/metrics/mcd_13" in evals[-1]
+    assert all(isinstance(v, (int, float)) for h in evals for v in h.values())
 
     # --- full resume continues the step count ---
     modules2 = ExperimentModules(

@@ -58,6 +58,12 @@ def main():
     ap.add_argument("--seq", type=int, default=768)
     ap.add_argument("--head-dim", type=int, default=64)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="in-kernel probability dropout rate (mqa path)")
+    ap.add_argument("--q-lens", action="store_true",
+                    help="pass ragged query lengths (mqa path)")
+    ap.add_argument("--only", default=None,
+                    help="bench only this impl (mqa|flash|einsum)")
     args = ap.parse_args()
 
     B, H, N, D = args.batch, args.heads, args.seq, args.head_dim
@@ -97,15 +103,24 @@ def main():
 
     from isp_tts_tpu.ops.flash_attention import DEF_BLOCK_K_MQA, DEF_BLOCK_R
 
+    q_lens = (jnp.asarray(rng.randint(N // 2, N + 1, size=B), jnp.int32)
+              if args.q_lens else None)
+    seed = jnp.asarray(7, jnp.int32) if args.dropout > 0 else None
+
     def mqa_f(q, k, v, s):
         # (B,N,H,D) in/out — the production layout, no transposes; symmetric
         # slopes (the production config) take the specialized bias path
         return flash_attention_mqa(q, k[:, 0], v[:, 0], s, key_lens, scale,
-                                   0, DEF_BLOCK_R, DEF_BLOCK_K_MQA, True)
+                                   0, DEF_BLOCK_R, DEF_BLOCK_K_MQA, True,
+                                   q_lens=q_lens, dropout_rate=args.dropout,
+                                   dropout_seed=seed)
 
-    for name, f, a in (("mqa", mqa_f, (q_nhd, k, v, slopes2)),
-                       ("flash", flash_f, (q, k, v, slopes2)),
-                       ("einsum", einsum_f, (q, k, v, slopes2))):
+    impls = (("mqa", mqa_f, (q_nhd, k, v, slopes2)),
+             ("flash", flash_f, (q, k, v, slopes2)),
+             ("einsum", einsum_f, (q, k, v, slopes2)))
+    for name, f, a in impls:
+        if args.only and name != args.only:
+            continue
         t_f = timeit(f, a)
         t_b = timeit(grad_of(f), a)
         print(f"{name:7s} B={B} H={H} N={N} D={D} {args.dtype}: "

@@ -144,10 +144,88 @@ def main():
           f"text={args.text_len}: {per_step*1000:.2f} ms/step "
           f"({args.batch/per_step:.0f} samples/s)")
 
+    _print_mfu(f_large, state, opt_state, args, per_step)
+
     if args.profile:
         with jax.profiler.trace(args.trace_dir):
             np.asarray(f_large(state, opt_state))
         print(f"trace written to {args.trace_dir}")
+
+
+#: bf16 peak TFLOP/s by device kind (dense); fallback assumes v5e
+_PEAK_TFLOPS = {"TPU v4": 275.0, "TPU v5e": 197.0, "TPU v5 lite": 197.0,
+                "TPU v5p": 459.0, "TPU v6e": 918.0, "TPU v6 lite": 918.0}
+
+
+def _hlo_matmul_flops(text: str) -> float:
+    """Sum matmul/conv FLOPs from optimized HLO text.
+
+    On TPU every dot lowers to a `convolution` op; for each one
+    flops = 2 * prod(output_shape) * prod(rhs_shape) / rhs_'o'_dim — the
+    reduction length per output element is the kernel's non-output-feature
+    extent (holds for feature/batch-grouped convs incl. wgrad). XLA's
+    executable cost_analysis undercounts badly here (fused dots), so this
+    parses the module text instead. Pallas custom-call flops are invisible
+    to both and counted analytically by the caller.
+    """
+    import re
+
+    def_dims: dict[str, str] = {}
+    name_re = re.compile(r"^\s*(?:ROOT\s+)?%([\w.\-]+) = \(?\w+\[([\d,]*)\]",
+                         re.M)
+    for m in name_re.finditer(text):
+        def_dims.setdefault(m.group(1), m.group(2))
+
+    conv_re = re.compile(
+        r"= \w+\[([\d,]*)\]\S* convolution\(%([\w.\-]+), %([\w.\-]+)\),"
+        r".*?dim_labels=\w+_(\w+)->")
+    total = 0.0
+    for m in conv_re.finditer(text):
+        out_dims, _lhs, rhs, rhs_labels = m.groups()
+        rdims = def_dims.get(rhs)
+        if rdims is None or "o" not in rhs_labels:
+            continue
+        out_n = 1
+        for d in out_dims.split(","):
+            if d:
+                out_n *= int(d)
+        rshape = [int(d) for d in rdims.split(",") if d]
+        red = 1
+        for lbl, d in zip(rhs_labels, rshape):
+            if lbl != "o":
+                red *= d
+        total += 2.0 * out_n * red
+    return total
+
+
+def _print_mfu(f_large, state, opt_state, args, per_step):
+    """MFU estimate: HLO-parsed matmul flops + analytic Pallas flash-kernel
+    flops (custom calls are opaque to XLA) over the bf16 peak. The scan
+    body appears once in the module text, so the parsed total is per-step
+    (out-of-loop setup ops contribute <1%)."""
+    try:
+        text = f_large.lower(state, opt_state).compile().as_text()
+        xla_flops = _hlo_matmul_flops(text)
+    except Exception as e:  # noqa: BLE001
+        print(f"(hlo flop census unavailable: {e})")
+        return
+    B, D = args.batch, 64
+    # folded-MQA flash per layer: fwd 2 matmuls + fused bwd 5, each
+    # 2*(N*H)*M*D FLOP (core.yaml heads: enc/dec 6, predictor/embedding 4)
+    def attn_flops(n, m, heads, layers):
+        return layers * 7 * 2 * (n * heads) * m * D * B
+
+    flash = (attn_flops(args.text_len, args.text_len, 6, 6)      # encoder
+             + attn_flops(args.mel_len, args.mel_len, 6, 6)      # decoder
+             + attn_flops(args.text_len, args.text_len, 4, 3)    # flow predictor
+             + attn_flops(args.mel_len, args.mel_len, 4, 1))     # feature embedding
+    total = xla_flops + flash
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in _PEAK_TFLOPS.items() if k in kind), 197.0)
+    achieved = total / per_step / 1e12
+    print(f"flops/step: hlo-matmul {xla_flops/1e9:.1f}G + flash(analytic) "
+          f"{flash/1e9:.1f}G = {total/1e9:.1f}G -> {achieved:.1f} TFLOP/s "
+          f"= {100 * achieved / peak:.1f}% MFU ({kind} bf16 peak {peak:.0f}T)")
 
 
 if __name__ == "__main__":

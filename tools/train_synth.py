@@ -112,6 +112,27 @@ def plot_curves(log_history, assets: Path):
             for key, _ in panels}
 
 
+class HistoryDumper:
+    """Persist the log history every eval so a killed run keeps its curves."""
+
+    def __init__(self, path: Path):
+        self.path = path
+
+    def _dump(self, state):
+        self.path.write_text(json.dumps(state.log_history))
+
+    def on_evaluate(self, config, state, control, **kw):
+        self._dump(state)
+
+    def on_train_end(self, config, state, control, **kw):
+        self._dump(state)
+
+    def __getattr__(self, name):
+        if name.startswith("on_"):
+            return lambda *a, **kw: None
+        raise AttributeError(name)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", type=Path, default=Path("/tmp/synth_ds"))
@@ -145,6 +166,8 @@ def main():
         overrides=build_overrides(args.root, args.run_dir, args.steps))
     modules.init_modules()
     trainer = modules.build_trainer()
+    trainer.callbacks.callbacks.append(
+        HistoryDumper(assets / "log_history.json"))
 
     import time
 
