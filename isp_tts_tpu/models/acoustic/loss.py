@@ -45,6 +45,9 @@ def weight_loss(loss: jnp.ndarray, cfg: WeightedLossConfig,
 @dataclass
 class AttentionCTCLossConfig(WeightedLossConfig):
     blank_logprob: float = -1.0
+    # auto: streamed Pallas kernels on TPU (ops/ctc_pallas.py), lax.scan
+    # elsewhere; scan|pallas force an implementation
+    ctc_impl: str = "auto"
 
 
 @dataclass
@@ -127,7 +130,8 @@ def _ordered_ctc_neg_logp(logprobs: jnp.ndarray, text_lens: jnp.ndarray,
 
 
 def attention_ctc_loss_fn(attn_logits: jnp.ndarray, text_lens: jnp.ndarray,
-                          mel_lens: jnp.ndarray, blank_logprob: float = -1.0) -> jnp.ndarray:
+                          mel_lens: jnp.ndarray, blank_logprob: float = -1.0,
+                          ctc_impl: str = "auto") -> jnp.ndarray:
     """CTC forcing each text token to be visited in order.
 
     attn_logits: (B, M, T). Targets are [1..text_len]; a blank column with
@@ -137,7 +141,14 @@ def attention_ctc_loss_fn(attn_logits: jnp.ndarray, text_lens: jnp.ndarray,
                      constant_values=blank_logprob)
     logprobs = jax.nn.log_softmax(padded, axis=2)
 
-    per_example = _ordered_ctc_neg_logp(logprobs, text_lens, mel_lens)
+    if ctc_impl == "auto":
+        ctc_impl = "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+    if ctc_impl == "pallas":
+        from ...ops.ctc_pallas import ordered_ctc_neg_logp_pallas
+
+        per_example = ordered_ctc_neg_logp_pallas(logprobs, text_lens, mel_lens)
+    else:
+        per_example = _ordered_ctc_neg_logp(logprobs, text_lens, mel_lens)
     # torch nn.CTCLoss(reduction='mean'): divide by target length, then mean
     per_example = per_example / jnp.maximum(text_lens.astype(per_example.dtype), 1.0)
     # zero_infinity=True semantics. The banded recurrence never produces an
@@ -185,6 +196,7 @@ class AcousticModelLoss:
                 outputs.aligner_output.attn_logits,
                 inputs["text_len"], inputs["mel_len"],
                 blank_logprob=cfg.attention_loss.blank_logprob,
+                ctc_impl=cfg.attention_loss.ctc_impl,
             )
             attn_l = weight_loss(attn_l, cfg.attention_loss, step)
             losses["aligner/attention_loss"] = attn_l

@@ -505,11 +505,27 @@ _flash_core.defvjp(_flash_fwd_vjp, _flash_bwd)
 # ---------------------------------------------------------------------------
 
 # (block_r, block_k) f32 intermediates (s/p/ds + ALiBi geometry) live on the
-# Mosaic stack: 768x768 keeps ~7 live arrays under the 16 MiB scoped VMEM
-# limit (1536x1024 OOMs in the dq kernel). 768 rows also divide the model's
-# folded row counts exactly (decoder 768*6, encoder 128*6, adaptor 128*4+).
+# Mosaic stack. The defaults are sized for the STREAMED kernels under the
+# default 16 MiB scoped-VMEM budget; the single-pass specializations below
+# raise the per-kernel VMEM limit (v5e has 128 MiB physical) and widen the
+# row block to amortize per-program overhead (fewer grid programs, bigger
+# MXU tiles). 768 rows divide the model's folded row counts exactly
+# (decoder 768*6, encoder 128*6, adaptor 128*4+).
 DEF_BLOCK_R = 768
 DEF_BLOCK_K_MQA = 768
+# single-pass (whole key axis resident) row-block budget: block_r * block_k
+# f32 tiles up to 1536x768 (4.7 MB each, ~5-6 live) fit comfortably once the
+# scoped limit is raised
+_SINGLE_PASS_TILE = 1536 * 768
+_VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+
+
+def _tpu_params(*dims: str):
+    """CompilerParams for an MQA pallas_call: per-grid-dim semantics plus a
+    raised scoped-VMEM limit (the wide single-pass tiles exceed Mosaic's
+    16 MiB default; v5e has 128 MiB physical VMEM)."""
+    return pltpu.CompilerParams(
+        dimension_semantics=dims, vmem_limit_bytes=_VMEM_LIMIT_BYTES)
 
 
 def _pad_axis(x, axis, block):
@@ -1018,6 +1034,7 @@ def _mqa_bwd_fused(scale, offset, symmetric, causal, drop, q2, kp, vp, g2, o2,
             jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
         ],
+        compiler_params=_tpu_params("parallel", "arbitrary"),
         interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
       seed.astype(jnp.int32), slopes.astype(jnp.float32),
@@ -1092,6 +1109,9 @@ def _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset, block_r,
         block_k = _pick_block(M, max(block_k, 1024))
     else:
         block_k = _pick_block(M, block_k)
+    # (widening the forward row block to 1536 was tried and measured NEUTRAL
+    # to slightly worse — the fwd holds fewer live tiles and pipelines better
+    # at 768 rows; only the fused backward below wins from wider rows)
     block_r = _pick_block(R, 512 if block_k > 768 else block_r)
     q2 = _pad_axis(q.reshape(B, R, D), 1, block_r)
     kp = _pad_axis(k, 1, block_k)
@@ -1133,6 +1153,7 @@ def _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset, block_r,
             jax.ShapeDtypeStruct((B, Rp, D), q.dtype),
             jax.ShapeDtypeStruct((B, 1, Rp), jnp.float32),
         ],
+        compiler_params=_tpu_params("parallel", "parallel", "arbitrary"),
         interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
       seed.astype(jnp.int32), slopes.astype(jnp.float32), q2, kp, vp)
@@ -1153,8 +1174,15 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, causal, dropout_rate,
     B, N, H, D = q.shape
     M = k.shape[1]
     R = N * H
-    block_r = _pick_block(R, block_r)
     block_k = _pick_block(M, block_k)
+    if -(-M // block_k) == 1 and block_r == DEF_BLOCK_R:
+        # fused single-pass backward: widen the row block (same rationale
+        # as the forward — fewer programs, larger MXU tiles; VMEM fits
+        # under the raised per-kernel limit)
+        block_r = _pick_block(
+            R, max(block_r, _SINGLE_PASS_TILE // block_k // 128 * 128))
+    else:
+        block_r = _pick_block(R, block_r)
 
     q2 = _pad_axis(q.reshape(B, R, D), 1, block_r)
     g2 = _pad_axis(g.reshape(B, R, D), 1, block_r)
@@ -1214,6 +1242,7 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, causal, dropout_rate,
             jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, n_r, 8, 128), jnp.float32),
         ],
+        compiler_params=_tpu_params("parallel", "parallel", "arbitrary"),
         interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
       seed.astype(jnp.int32), slopes.astype(jnp.float32),
@@ -1259,6 +1288,7 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, causal, dropout_rate,
             jax.ShapeDtypeStruct((B, Mp, D), k.dtype),
             jax.ShapeDtypeStruct((B, Mp, D), v.dtype),
         ],
+        compiler_params=_tpu_params("parallel", "parallel", "arbitrary"),
         interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
       seed.astype(jnp.int32), slopes.astype(jnp.float32),

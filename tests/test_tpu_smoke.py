@@ -130,3 +130,36 @@ def test_smoke_serving_call():
         steps=2, charset=tuple(charset)))
     mels = synth("smoke test on hardware.")
     assert mels[0].shape[1] == 16 and np.isfinite(mels[0]).all()
+
+
+@requires_tpu
+def test_smoke_ctc_pallas_fwd_bwd():
+    """Banded-CTC Pallas kernels vs the lax.scan oracle on hardware.
+
+    Values agree to fp exactness; gradients to ~5e-3 absolute (occupancies
+    are <= 1): the beta recursion recomputes the occupancy via TPU-precision
+    exp/log1p over M log-space steps, while the scan oracle's gradient is
+    the autodiff chain — two valid fp paths through the same math.
+    """
+    from isp_tts_tpu.models.acoustic.loss import _ordered_ctc_neg_logp
+    from isp_tts_tpu.ops.ctc_pallas import ordered_ctc_neg_logp_pallas
+
+    rng = np.random.RandomState(3)
+    B, M, T = 8, 256, 64
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.randn(B, M, T + 1).astype(np.float32)), axis=2)
+    tl = jnp.asarray(rng.randint(1, T + 1, size=B), jnp.int32)
+    ml = jnp.asarray(rng.randint(T + 1, M + 1, size=B), jnp.int32)
+    w = jnp.asarray(rng.rand(B).astype(np.float32))
+
+    def loss(fn, x):
+        return jnp.sum(fn(x, tl, ml) * w)
+
+    v_ref, g_ref = jax.value_and_grad(
+        lambda x: loss(_ordered_ctc_neg_logp, x))(lp)
+    v_pal, g_pal = jax.value_and_grad(
+        lambda x: loss(ordered_ctc_neg_logp_pallas, x))(lp)
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=5e-3)
