@@ -553,12 +553,16 @@ def _keep_hash(idx, seed, thresh):
     ops, deterministic for a given (idx, seed) regardless of how the kernel
     grid tiles the matrix, so the forward and both backward kernels (which
     may use DIFFERENT block partitions of the same logits matrix) regenerate
-    bit-identical masks. Runs in interpret mode too (plain jnp ops)."""
+    bit-identical masks. Runs in interpret mode too (plain jnp ops).
+
+    Two multiplies + one xorshift (the trailing avalanche round was dropped:
+    this hash runs per (row, col) element in every training attention kernel,
+    and only the top byte is consumed — measured keep-rate and +-1/+-row
+    adjacency correlations are indistinguishable from the 2-round version)."""
     u = idx.astype(jnp.uint32) + seed.astype(jnp.uint32)
     u = u * jnp.uint32(2654435761)
-    u = u ^ (u >> 16)
+    u = u ^ (u >> 17)
     u = u * jnp.uint32(0x45D9F3B)
-    u = u ^ (u >> 16)
     return (u >> 24) < jnp.uint32(thresh)
 
 
@@ -772,8 +776,9 @@ def _mqa_dq_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
             keep = _mqa_keep(seed_ref, b, ri, ki, block_r, block_k,
                              r_true, m_true, thresh)
             dp = jnp.where(keep, dp * inv_keep, 0.0)
+        # invalid columns: s = NEG_INF -> p underflows to exactly 0, no
+        # re-mask of ds needed
         ds = p * (dp - delta_ref[...])
-        ds = jnp.where(valid, ds, 0.0)
 
         dq_acc_ref[...] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -857,7 +862,8 @@ def _mqa_dkv_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
             thresh, inv_keep, r_true, m_true = drop
             keep = _mqa_keep(seed_ref, b, ri, ki, block_r, block_k,
                              r_true, m_true, thresh)
-            p_v = jnp.where(keep, p * inv_keep, 0.0)
+            mask_f = jnp.where(keep, jnp.float32(inv_keep), 0.0)
+            p_v = p * mask_f
         dv_acc_ref[...] += jax.lax.dot_general(
             p_v.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (BK, D)
@@ -865,9 +871,9 @@ def _mqa_dkv_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         if drop is not None:
-            dp = jnp.where(keep, dp * inv_keep, 0.0)
+            dp = dp * mask_f
+        # invalid columns: p is exactly 0 (s = NEG_INF), no re-mask needed
         ds = p * (dp - delta)
-        ds = jnp.where(valid, ds, 0.0)
         dk_acc_ref[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
@@ -928,10 +934,13 @@ def _mqa_dfused_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
     if drop is None:
         p_v = p
     else:
+        # one select + two mults (vs two select+mult pairs): the rescale
+        # factor is folded into the mask
         thresh, inv_keep, r_true, m_true = drop
         keep = _mqa_keep(seed_ref, b, ri, 0, block_r, block_k,
                          r_true, m_true, thresh)
-        p_v = jnp.where(keep, p * inv_keep, 0.0)
+        mask_f = jnp.where(keep, jnp.float32(inv_keep), 0.0)
+        p_v = p * mask_f
     p_lo = p_v.astype(v.dtype)
 
     dv_acc_ref[...] += jax.lax.dot_general(
@@ -941,9 +950,10 @@ def _mqa_dfused_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if drop is not None:
-        dp = jnp.where(keep, dp * inv_keep, 0.0)
+        dp = dp * mask_f
+    # invalid columns need no re-mask: s = NEG_INF there, so p (and every
+    # term through it) is exactly 0 after the exp underflow
     ds = p * (dp - delta)
-    ds = jnp.where(valid, ds, 0.0)
     ds_lo = ds.astype(k.dtype)
 
     dq_ref[0] = (jax.lax.dot_general(
