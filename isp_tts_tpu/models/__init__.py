@@ -10,10 +10,16 @@ from .base import Model  # noqa: E402
 from .acoustic.model import AcousticModel, AcousticModelOutput  # noqa: E402
 from .acoustic.loss import AcousticModelLoss  # noqa: E402
 from .acoustic.evaluator import AcousticModelEvaluator  # noqa: E402
+from .vocoder.model import VocoderModel, VocoderOutput  # noqa: E402
+from .vocoder.loss import VocoderGANLoss  # noqa: E402
+from .vocoder.evaluator import VocoderEvaluator  # noqa: E402
 
 MODELS.add("AcousticModel", AcousticModel)
 CRITERIA.add("AcousticModelLoss", AcousticModelLoss)
 EVALUATORS.add("AcousticModelEvaluator", AcousticModelEvaluator)
+MODELS.add("VocoderModel", VocoderModel)
+CRITERIA.add("VocoderGANLoss", VocoderGANLoss)
+EVALUATORS.add("VocoderEvaluator", VocoderEvaluator)
 
 __all__ = [
     "MODELS",
@@ -24,4 +30,8 @@ __all__ = [
     "AcousticModelOutput",
     "AcousticModelLoss",
     "AcousticModelEvaluator",
+    "VocoderModel",
+    "VocoderOutput",
+    "VocoderGANLoss",
+    "VocoderEvaluator",
 ]

@@ -217,6 +217,34 @@ def griffin_lim_matmul(magnitude: jnp.ndarray, n_iter: int = 32,
     return audio[..., pad:audio.shape[-1] - pad] if pad else audio
 
 
+def log_mel_matmul(audio: jnp.ndarray, sample_rate: int = 22050,
+                   n_fft: int = 1024, hop_length: int = 256,
+                   win_length: int = 1024, n_mels: int = 80,
+                   f_min: float = 0.0, f_max: float | None = 8000.0,
+                   eps: float = 1e-12) -> jnp.ndarray:
+    """(..., samples) -> (..., frames, n_mels) log-mel with NO complex/FFT ops
+    — the TPU-trainable twin of :func:`ops.audio.log_mel_spectrogram`.
+
+    Used by the neural-vocoder GAN loss and feature path, which must compute
+    mel INSIDE the jitted train step on the TPU (this runtime rejects complex
+    dtypes, so the rfft-based op only runs on CPU). Same STFT contract as the
+    data providers (center pad ``(n_fft - hop)/2``, periodic Hann, slaney mel,
+    ``log(clamp(x, 1e-5))``); ``eps`` inside the magnitude sqrt keeps the
+    gradient finite at silent bins (the providers never differentiate, this
+    op does).
+    """
+    if win_length != n_fft:
+        raise ValueError("log_mel_matmul requires win_length == n_fft")
+    from .audio import dynamic_range_compression, mel_filterbank
+
+    pad = (n_fft - hop_length) // 2
+    re, im = _stft_matmul(audio, n_fft, hop_length, win_length, pad)  # (..., F, T)
+    mag = jnp.sqrt(re * re + im * im + eps)
+    fb = jnp.asarray(mel_filterbank(sample_rate, n_fft, n_mels, f_min, f_max))
+    mel = jnp.einsum("mf,...ft->...tm", fb, mag)
+    return dynamic_range_compression(mel)
+
+
 def mel_to_audio_tpu(log_mel: jnp.ndarray, sample_rate: int = 22050,
                      n_fft: int = 1024, hop_length: int = 256,
                      win_length: int = 1024, f_min: float = 0.0,

@@ -34,12 +34,22 @@ class SynthesizerConfig:
 
 
 class Synthesizer:
-    def __init__(self, model, config: SynthesizerConfig | None = None):
+    def __init__(self, model, config: SynthesizerConfig | None = None,
+                 vocoder=None):
         self.model = model
         self.config = config or SynthesizerConfig()
         model.eval()
         self._graphdef, self._state = nnx.split(model)
         self._compiled: dict[tuple, callable] = {}
+
+        # optional in-repo neural vocoder (models.vocoder.VocoderModel): the
+        # reference's external-TorchScript step (inference.ipynb cell 7)
+        # becomes one more bucketed on-device executable
+        self.vocoder = vocoder
+        self._voc_compiled: dict[tuple, callable] = {}
+        if vocoder is not None:
+            vocoder.eval()
+            self._voc_graphdef, self._voc_state = nnx.split(vocoder)
 
         from .data.providers import TextProvider, TextProviderConfig
         from .data.text.table import CodingTable
@@ -67,10 +77,16 @@ class Synthesizer:
                 model.encoding_map)
 
     @classmethod
-    def from_pretrained(cls, path, config: SynthesizerConfig | None = None):
+    def from_pretrained(cls, path, config: SynthesizerConfig | None = None,
+                        vocoder_path=None):
         from .models import AcousticModel
 
-        return cls(AcousticModel.from_pretrained(path), config)
+        vocoder = None
+        if vocoder_path is not None:
+            from .models import VocoderModel
+
+            vocoder = VocoderModel.from_pretrained(vocoder_path)
+        return cls(AcousticModel.from_pretrained(path), config, vocoder=vocoder)
 
     # -- shape bucketing -----------------------------------------------------
 
@@ -119,6 +135,51 @@ class Synthesizer:
                  duration_factor: float = 1.0, pitch_factor: float = 1.0,
                  pitch_delta: float = 0.0) -> list[np.ndarray]:
         """Synthesize mel(s); returns a list of (frames, n_mels) arrays."""
+        mel, dec_lens = self._synthesize_mel(
+            text, seed, duration_factor, pitch_factor, pitch_delta)
+        return [mel[i, : int(dec_lens[i])] for i in range(mel.shape[0])]
+
+    def synthesize_audio(self, text: str | list[str], seed: int = 0,
+                         duration_factor: float = 1.0, pitch_factor: float = 1.0,
+                         pitch_delta: float = 0.0) -> list[np.ndarray]:
+        """Full text -> waveform serving path. With a neural vocoder attached
+        the mel never leaves the device between the two executables; without
+        one, falls back to on-device matmul Griffin-Lim. Returns float32
+        waveforms clipped to +-1 (the reference's inference.ipynb cell 23
+        contract)."""
+        mel, dec_lens = self._synthesize_mel(
+            text, seed, duration_factor, pitch_factor, pitch_delta)
+        B, frames, _ = mel.shape
+        if self.vocoder is not None:
+            hop = self.vocoder.features_config.hop_length
+            audio = np.asarray(self._vocoder_executable(frames, B)(
+                self._voc_state, jnp.asarray(mel)))
+        else:
+            from .ops.vocoder import mel_to_audio_tpu
+
+            hop = 256
+            audio = np.asarray(mel_to_audio_tpu(jnp.asarray(mel)))
+        audio = np.clip(audio, -1.0, 1.0)
+        return [audio[i, : int(dec_lens[i]) * hop] for i in range(B)]
+
+    def _vocoder_executable(self, frames: int, batch: int):
+        key = (frames, batch)
+        fn = self._voc_compiled.get(key)
+        if fn is None:
+            graphdef = self._voc_graphdef
+
+            @jax.jit
+            def vocode(state, mel):
+                return nnx.merge(graphdef, state).infer(mel)
+
+            self._voc_compiled[key] = fn = vocode
+        return fn
+
+    def _synthesize_mel(self, text: str | list[str], seed: int = 0,
+                        duration_factor: float = 1.0, pitch_factor: float = 1.0,
+                        pitch_delta: float = 0.0):
+        """Bucketed mel synthesis; returns the PADDED (B, budget, n_mels)
+        array + per-sample valid frame counts."""
         texts = [text] if isinstance(text, str) else list(text)
         encoded = [self.text_provider(t) for t in texts]
         max_len = max(e.vector_len for e in encoded)
@@ -162,5 +223,4 @@ class Synthesizer:
                 break
             fb = self._bucket(fb + 1, budgets)
             logger.info("frame budget saturated; retrying at %d", fb)
-        mel = np.asarray(mel)
-        return [mel[i, : int(dec_lens[i])] for i in range(B)]
+        return np.asarray(mel), dec_lens

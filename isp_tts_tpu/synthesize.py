@@ -37,7 +37,9 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=2048)
     parser.add_argument("--sample-rate", type=int, default=22050)
     parser.add_argument("--vocoder", default=None,
-                        help="TorchScript vocoder path (default: Griffin-Lim)")
+                        help="neural vocoder: an isp_tts_tpu VocoderModel "
+                             "checkpoint (.ckpt) or a TorchScript file "
+                             "(default: Griffin-Lim)")
     parser.add_argument("--griffin-lim-iters", type=int, default=48)
     args = parser.parse_args(argv)
 
@@ -86,7 +88,15 @@ def main(argv=None):
     log.info("acoustic: %d frames in %.3fs", n_frames, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    if args.vocoder:
+    if args.vocoder and str(args.vocoder).endswith(".ckpt"):
+        # in-repo neural vocoder (models.vocoder.VocoderModel checkpoint):
+        # runs on the accelerator, no torch involved
+        from .models import VocoderModel
+
+        vocoder = VocoderModel.from_pretrained(args.vocoder)
+        vocoder.eval()
+        audio = np.clip(np.asarray(vocoder.infer(mel))[0], -1.0, 1.0)
+    elif args.vocoder:
         import torch
 
         vocoder = torch.jit.load(args.vocoder)

@@ -113,7 +113,12 @@ class ExperimentModules:
     def build_trainer(self) -> Trainer:
         if self.model is None:
             self.init_modules()
-        trainer = Trainer(
+        trainer_cls = Trainer
+        if getattr(type(self.model), "TRAINER", None) == "gan":
+            from .gan_trainer import GANTrainer
+
+            trainer_cls = GANTrainer
+        trainer = trainer_cls(
             model=self.model,
             criterion=self.criterion,
             config=self.build_trainer_config(),

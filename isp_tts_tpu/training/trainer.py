@@ -144,6 +144,31 @@ class Trainer:
 
         # --- optimizer ---
         self._maybe_load_checkpoint()
+        self._init_optimizer()
+
+        # place model + optimizer state over the mesh: replicated for pure DP,
+        # TP rules over the "model" axis when mesh_model_axis > 1 (XLA derives
+        # gradient collectives from these shardings + the data-sharded batch)
+        from ..parallel.mesh import shard_params
+
+        nnx.update(self.model, shard_params(nnx.state(self.model), self.mesh))
+        self.opt_state = shard_params(self.opt_state, self.mesh)
+
+        self._steps_built = False
+
+        if config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
+
+        self.callbacks.on_init_end(self.config, self.state, self.control)
+
+    # ------------------------------------------------------------------
+    # data
+    # ------------------------------------------------------------------
+
+    def _init_optimizer(self):
+        """Build optimizer(s) + schedule and restore checkpointed state.
+        Subclass seam: GANTrainer overrides this with a two-optimizer setup."""
+        config = self.config
         params = nnx.state(self.model, nnx.Param)
         trainable_mask = None
         if self.model.frozen_prefixes:
@@ -165,35 +190,27 @@ class Trainer:
         self.opt_state = self.tx.init(params)
         self._grad_accum = config.optimization.grad_accum_steps > 1
         self._has_freeze_mask = trainable_mask is not None
-        if self._restored_opt_state is not None:
-            structure = jax.tree_util.tree_structure(self.opt_state)
-            leaves = self._restored_opt_state
-            if structure.num_leaves == len(leaves):
-                self.opt_state = jax.tree_util.tree_unflatten(structure, leaves)
-                logger.info("restored optimizer state (%d leaves)", len(leaves))
-            else:
-                logger.warning(
-                    "optimizer state mismatch (%d vs %d leaves); reinitialized",
-                    structure.num_leaves, len(leaves))
+        self._restore_opt_state()
 
-        # place model + optimizer state over the mesh: replicated for pure DP,
-        # TP rules over the "model" axis when mesh_model_axis > 1 (XLA derives
-        # gradient collectives from these shardings + the data-sharded batch)
-        from ..parallel.mesh import shard_params
+    def _restore_opt_state(self):
+        """Rebuild ``self.opt_state`` from checkpointed leaves (the structure
+        is rebuilt from code at init; only leaf values travel)."""
+        if self._restored_opt_state is None:
+            return
+        structure = jax.tree_util.tree_structure(self.opt_state)
+        leaves = self._restored_opt_state
+        if structure.num_leaves == len(leaves):
+            self.opt_state = jax.tree_util.tree_unflatten(structure, leaves)
+            logger.info("restored optimizer state (%d leaves)", len(leaves))
+        else:
+            logger.warning(
+                "optimizer state mismatch (%d vs %d leaves); reinitialized",
+                structure.num_leaves, len(leaves))
 
-        nnx.update(self.model, shard_params(nnx.state(self.model), self.mesh))
-        self.opt_state = shard_params(self.opt_state, self.mesh)
-
-        self._steps_built = False
-
-        if config.debug_nans:
-            jax.config.update("jax_debug_nans", True)
-
-        self.callbacks.on_init_end(self.config, self.state, self.control)
-
-    # ------------------------------------------------------------------
-    # data
-    # ------------------------------------------------------------------
+    def _apply_lr(self, lr: float):
+        """Write the schedule's lr into the optimizer state (subclass seam)."""
+        return set_learning_rate(
+            self.opt_state, lr, self._grad_accum, self._has_freeze_mask)
 
     def _make_loader(self, dataset, batch_size, shuffle):
         return DataLoader(
@@ -342,8 +359,7 @@ class Trainer:
             step_arr = jnp.asarray(self.state.global_step, jnp.int32)
             if is_train:
                 lr = self.schedule(self.state.global_step, int(self.state.epoch))
-                self.opt_state = set_learning_rate(
-                    self.opt_state, lr, self._grad_accum, self._has_freeze_mask)
+                self.opt_state = self._apply_lr(lr)
                 self.state.learning_rate = lr
                 step_fn = self._step_for_mode("train")
                 self.opt_state, metrics = step_fn(self.opt_state, batch, step_arr)
