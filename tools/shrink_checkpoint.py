@@ -20,9 +20,16 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 from isp_tts_tpu.training.checkpoint import load_checkpoint, save_checkpoint
 
 
-def shrink(src: str, dst: str) -> None:
+def shrink(src: str, dst: str, drop_prefixes: tuple = ()) -> None:
+    """``drop_prefixes`` removes whole parameter subtrees (e.g. a GAN
+    checkpoint's ``discriminator.`` — serving needs only the generator;
+    ``load_params`` backfills dropped keys from fresh init with a warning)."""
     ckpt = load_checkpoint(src)
     ckpt.pop("optimizer", None)
+    if drop_prefixes:
+        state = ckpt["model"]["state"]
+        for k in [k for k in state if k.startswith(tuple(drop_prefixes))]:
+            del state[k]
 
     def cast(tree):
         if isinstance(tree, dict):
