@@ -161,6 +161,49 @@ def _run():
     ta_large = min(timed(f_large, jax.random.PRNGKey(i)) for i in (7, 8))
     per_call_audio = (ta_large - ta_small) / (N_LARGE - N_SMALL)
 
+    # text -> waveform through the TRAINED in-repo neural vocoder (the
+    # committed convergence-run checkpoint): acoustic infer + Vocos-style
+    # generator chained in the same scanned program
+    per_call_voc = None
+    from pathlib import Path as _Path
+
+    voc_ckpt = _Path(__file__).parent / "docs/assets/vocoder_r3/vocoder_synth_r3.f16.ckpt"
+    if voc_ckpt.exists():
+        from isp_tts_tpu.models import VocoderModel
+
+        vocoder = VocoderModel.from_pretrained(voc_ckpt)
+        vocoder.eval()
+        voc_graphdef, voc_state = nnx.split(vocoder)
+
+        def make_voc(n_iter):
+            @jax.jit
+            def voc_many(state, vstate, key):
+                m = nnx.merge(graphdef, state)
+                v = nnx.merge(voc_graphdef, vstate)
+
+                def body(carry, k):
+                    mel, _ = m.infer(
+                        text, text_lengths=lens, max_dec_len=MAX_DEC_LEN,
+                        duration_target=durations, steps=ODE_STEPS, key=k,
+                        pitch_delta=carry)
+                    wav = v.infer(mel.astype(jnp.float32))
+                    nxt = jnp.minimum(jnp.abs(jnp.mean(wav)), 0.0).astype(jnp.float32)
+                    return nxt, jnp.mean(wav).astype(jnp.float32)
+
+                keys = jax.random.split(key, n_iter)
+                _, outs = jax.lax.scan(body, jnp.float32(0.0), keys)
+                return outs
+
+            return lambda s, k: voc_many(s, voc_state, k)
+
+        fv_small, fv_large = make_voc(N_SMALL), make_voc(N_LARGE)
+        o = np.asarray(fv_small(state, jax.random.PRNGKey(0)))
+        assert np.isfinite(o).all()
+        np.asarray(fv_large(state, jax.random.PRNGKey(0)))
+        tv_small = min(timed(fv_small, jax.random.PRNGKey(i)) for i in (9, 10))
+        tv_large = min(timed(fv_large, jax.random.PRNGKey(i)) for i in (11, 12))
+        per_call_voc = (tv_large - tv_small) / (N_LARGE - N_SMALL)
+
     frames = BATCH * MAX_DEC_LEN
     xrt = frames * HOP / SAMPLE_RATE / per_call
     xrt_pred = frames * HOP / SAMPLE_RATE / per_call_pred
@@ -170,14 +213,18 @@ def _run():
           f"(predicted-duration {per_call_pred*1000:.2f}ms, "
           f"text->waveform {per_call_audio*1000:.2f}ms) "
           f"mel_frames/s={frames/per_call:,.0f}", file=sys.stderr)
-    print(json.dumps({
+    result = {
         "metric": "mel_synthesis_xrt_b32",
         "value": round(xrt, 1),
         "unit": "x_realtime",
         "vs_baseline": round(xrt / BASELINE_XRT, 2),
         "predicted_duration_xrt": round(xrt_pred, 1),
         "audio_xrt_b32": round(xrt_audio, 1),
-    }))
+    }
+    if per_call_voc is not None:
+        result["neural_vocoder_xrt_b32"] = round(
+            frames * HOP / SAMPLE_RATE / per_call_voc, 1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
