@@ -1,0 +1,195 @@
+"""Torch Vocos checkpoint interop: load the reference's actual external
+vocoder artifact as a TPU-native :class:`VocoderModel`.
+
+The reference's only vocoder is the pre-trained TorchScript file
+``vocos_ms_fp16.pts`` (`/root/reference/notebooks/inference.ipynb` cells 6-7:
+``torch.jit.load`` -> ``vocoder.infer(mel.half())``, 13.45M params). Its
+architecture is the official Vocos mel model (ConvNeXt backbone + ISTFT
+head), which :class:`VocosGenerator` re-implements TPU-first — so the
+weights map 1:1 and the artifact can run through the matmul-iSTFT path on
+the TPU instead of through host-side torch.
+
+Supported inputs:
+- TorchScript files (``.pts``/``.pt`` via ``torch.jit.load``) — the
+  reference's format;
+- plain state dicts / ``pytorch_model.bin`` (the official
+  ``charactr/vocos-mel-24khz`` HF layout), optionally nested under a
+  ``state_dict`` key or an arbitrary single wrapper prefix.
+
+Layout rules (official Vocos names -> ours):
+- ``backbone.embed``            Conv1d (out, in, k) -> ``generator.embed``   (k, in, out)
+- ``backbone.norm``             -> ``generator.norm_pre``   (weight -> scale)
+- ``backbone.convnext.{i}.*``   -> ``generator.blocks.{i}.*`` (dwconv/norm/
+  pwconv1/pwconv2/gamma; Linear weights transposed)
+- ``backbone.final_layer_norm`` -> ``generator.norm_post``
+- ``head.out``                  -> ``generator.head``
+- ``feature_extractor.*`` and ISTFT window buffers are dropped (we
+  regenerate them; the mel front-end lives in ``features_config``).
+
+Two architectural deltas are pinned via the generator config so loaded
+weights reproduce torch numerics: ``gelu="exact"`` (torch ``nn.GELU()`` is
+erf-based; our training default is the tanh approximation) and
+``min_log_mag=None`` + ``max_log_mag=log(100)`` (official Vocos clips the
+magnitude only from above, at 1e2). Parity is tested against an
+independent torch implementation in ``tests/test_vocoder_interop.py``.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger("isp_tts_tpu")
+
+# substring rewrites applied in order (official vocos names -> ours)
+_NAME_RULES: list[tuple[str, str]] = [
+    (r"^backbone\.embed\.", "generator.embed."),
+    (r"^backbone\.norm\.", "generator.norm_pre."),
+    (r"^backbone\.convnext\.(\d+)\.", r"generator.blocks.\1."),
+    (r"^backbone\.final_layer_norm\.", "generator.norm_post."),
+    (r"^head\.out\.", "generator.head."),
+]
+
+#: buffers we regenerate on our side (mel filterbanks, ISTFT windows)
+_DROP = re.compile(r"^(feature_extractor\.|head\.istft\.)")
+
+
+def _strip_wrapper_prefix(state: dict) -> dict:
+    """TorchScript exports sometimes nest the model under one attribute
+    (e.g. ``model.backbone...``); strip a single shared wrapper prefix when
+    no key starts with a recognized root."""
+    roots = ("backbone.", "head.", "feature_extractor.")
+    if any(k.startswith(roots) for k in state):
+        return state
+    prefixes = {k.split(".", 1)[0] for k in state if "." in k}
+    if len(prefixes) == 1:
+        p = next(iter(prefixes)) + "."
+        inner = {k[len(p):]: v for k, v in state.items() if k.startswith(p)}
+        if any(k.startswith(roots) for k in inner):
+            return inner
+    return state
+
+
+def convert_vocos_state(torch_state: dict) -> dict[str, np.ndarray]:
+    """{official vocos name: tensor/array} -> {our dotted name: np.float32}.
+
+    Unrecognized keys are dropped with a warning (so a non-vocos checkpoint
+    fails loudly downstream via ``load_params`` rather than silently here).
+    """
+    torch_state = _strip_wrapper_prefix(
+        {str(k): v for k, v in torch_state.items()})
+    out: dict[str, np.ndarray] = {}
+    for name, value in torch_state.items():
+        if _DROP.match(name):
+            continue
+        new = name
+        matched = False
+        for pattern, repl in _NAME_RULES:
+            new2 = re.sub(pattern, repl, new)
+            if new2 != new:
+                new, matched = new2, True
+                break
+        if not matched:
+            logger.warning("convert_vocos_state: unrecognized key %s", name)
+            continue
+        value = np.asarray(_to_numpy(value), dtype=np.float32)
+
+        if new.endswith(".weight"):
+            base = new[: -len(".weight")]
+            if value.ndim == 3:  # Conv1d (out, in, k) -> (k, in, out)
+                new, value = base + ".kernel", value.transpose(2, 1, 0)
+            elif value.ndim == 2:  # Linear (out, in) -> (in, out)
+                new, value = base + ".kernel", value.T
+            else:  # LayerNorm weight -> scale
+                new = base + ".scale"
+        out[new] = value
+    return out
+
+
+def _to_numpy(value):
+    if hasattr(value, "detach"):  # torch tensor (possibly fp16)
+        return value.detach().to("cpu").float().numpy()
+    return value
+
+
+def infer_generator_config(flat: dict[str, np.ndarray], hop_length: int) -> dict:
+    """Derive the VocosGeneratorConfig fields from converted weight shapes."""
+    embed = flat["generator.embed.kernel"]  # (k, n_mels, dim)
+    head = flat["generator.head.kernel"]  # (dim, n_fft + 2)
+    pw1 = flat["generator.blocks.0.pwconv1.kernel"]  # (dim, intermediate)
+    num_layers = 1 + max(
+        int(m.group(1)) for k in flat
+        if (m := re.match(r"generator\.blocks\.(\d+)\.", k)))
+    return {
+        "n_mels": int(embed.shape[1]),
+        "dim": int(embed.shape[2]),
+        "intermediate_dim": int(pw1.shape[1]),
+        "num_layers": num_layers,
+        "n_fft": int(head.shape[1]) - 2,
+        "hop_length": hop_length,
+        # official Vocos semantics: exact-erf GELU, upper-only magnitude
+        # clip at 1e2 (see module docstring)
+        "gelu": "exact",
+        "max_log_mag": float(np.log(100.0)),
+        "min_log_mag": None,
+    }
+
+
+def load_torch_vocoder(path: str | Path, hop_length: int = 256,
+                       sample_rate: int = 22050,
+                       f_min: float = 0.0, f_max: float | None = 8000.0):
+    """Load a torch Vocos checkpoint (TorchScript ``.pts`` or state dict)
+    into a :class:`VocoderModel` running on the TPU compute path.
+
+    ``hop_length``/``sample_rate``/``f_min``/``f_max`` are not recoverable
+    from the weights; the defaults are the reference's mel contract
+    (22.05 kHz, hop 256 — `/root/reference/configs/data/*.yaml`).
+    """
+    import torch
+
+    from flax import nnx
+
+    from .model import VocoderModel, VocoderModelConfig
+    from ...config.registry import build_config
+
+    p = Path(path)
+    state = None
+    try:
+        module = torch.jit.load(str(p), map_location="cpu")
+        state = dict(module.state_dict())
+    except Exception:
+        obj = torch.load(str(p), map_location="cpu", weights_only=False)
+        if hasattr(obj, "state_dict"):
+            obj = obj.state_dict()
+        if isinstance(obj, dict) and "state_dict" in obj:
+            obj = obj["state_dict"]
+        if not isinstance(obj, dict):
+            raise ValueError(f"{p}: not a torch module or state dict")
+        state = obj
+
+    flat = convert_vocos_state(state)
+    if "generator.embed.kernel" not in flat:
+        raise ValueError(
+            f"{p}: no Vocos backbone found (keys: {sorted(state)[:5]}...)")
+    gen_cfg = infer_generator_config(flat, hop_length)
+    config = build_config(VocoderModelConfig, {
+        "generator": gen_cfg,
+        "features": {
+            "sample_rate": sample_rate,
+            "n_fft": gen_cfg["n_fft"],
+            "hop_length": hop_length,
+            "win_length": gen_cfg["n_fft"],
+            "n_mels": gen_cfg["n_mels"],
+            "f_min": f_min,
+            "f_max": f_max,
+        },
+    })
+    model = VocoderModel(config, rngs=nnx.Rngs(0))
+    model.load_params(flat)
+    logger.info("loaded torch Vocos vocoder from %s: %d tensors, dim=%d, "
+                "layers=%d, n_fft=%d", p, len(flat), gen_cfg["dim"],
+                gen_cfg["num_layers"], gen_cfg["n_fft"])
+    return model

@@ -65,11 +65,17 @@ class VocosGeneratorConfig:
     layer_scale_init: float | None = None
     #: log-magnitude clip before exp (Vocos clips at 1e2 after exp)
     max_log_mag: float = 4.6  # exp(4.6) ~ 99.5
+    #: lower log-magnitude clip; None = no lower clip (official Vocos clips
+    #: only the upper side — interop-loaded checkpoints set this to None)
+    min_log_mag: float | None = -4.6
+    #: "tanh" (default, cheaper on TPU) or "exact" (erf — torch nn.GELU();
+    #: required for numerical parity with torch-trained Vocos weights)
+    gelu: str = "tanh"
 
 
 class ConvNeXtBlock(nnx.Module):
     def __init__(self, dim: int, intermediate_dim: int, layer_scale: float,
-                 *, rngs: nnx.Rngs):
+                 *, gelu_approximate: bool = True, rngs: nnx.Rngs):
         from ...nn.policy import get_compute_dtype
 
         dtype = get_compute_dtype()
@@ -79,13 +85,14 @@ class ConvNeXtBlock(nnx.Module):
         self.pwconv1 = nnx.Linear(dim, intermediate_dim, dtype=dtype, rngs=rngs)
         self.pwconv2 = nnx.Linear(intermediate_dim, dim, dtype=dtype, rngs=rngs)
         self.gamma = nnx.Param(jnp.full((dim,), layer_scale, jnp.float32))
+        self._gelu_approximate = gelu_approximate
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
         x = self.dwconv(x)
         x = self.norm(x)
         x = self.pwconv1(x)
-        x = jax.nn.gelu(x, approximate=True)
+        x = jax.nn.gelu(x, approximate=self._gelu_approximate)
         x = self.pwconv2(x)
         return residual + self.gamma.value.astype(x.dtype) * x
 
@@ -105,7 +112,8 @@ class VocosGenerator(nnx.Module):
                               dtype=dtype, rngs=rngs)
         self.norm_pre = nnx.LayerNorm(cfg.dim, epsilon=1e-6, dtype=dtype, rngs=rngs)
         self.blocks = nnx.List([
-            ConvNeXtBlock(cfg.dim, cfg.intermediate_dim, scale, rngs=rngs)
+            ConvNeXtBlock(cfg.dim, cfg.intermediate_dim, scale,
+                          gelu_approximate=(cfg.gelu != "exact"), rngs=rngs)
             for _ in range(cfg.num_layers)
         ])
         self.norm_post = nnx.LayerNorm(cfg.dim, epsilon=1e-6, dtype=dtype, rngs=rngs)
@@ -123,7 +131,9 @@ class VocosGenerator(nnx.Module):
         h = self.head(x.astype(jnp.float32))  # (B, T, n_fft + 2)
 
         n_freqs = cfg.n_fft // 2 + 1
-        log_mag = jnp.clip(h[..., :n_freqs], -cfg.max_log_mag, cfg.max_log_mag)
+        log_mag = jnp.minimum(h[..., :n_freqs], cfg.max_log_mag)
+        if cfg.min_log_mag is not None:
+            log_mag = jnp.maximum(log_mag, cfg.min_log_mag)
         phase = h[..., n_freqs:]
         mag = jnp.exp(log_mag)
         spec_re = jnp.swapaxes(mag * jnp.cos(phase), -1, -2)  # (B, F, T)
@@ -193,6 +203,20 @@ class VocoderModel(Model):
         return self.generator(mel)
 
     # -- plumbing ----------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(cls, path, **kwargs):
+        """Load an isp_tts_tpu ``.ckpt``, or a torch Vocos checkpoint
+        (TorchScript ``.pts``/``.pt`` or a state-dict ``.bin``/``.pth`` — the
+        reference's external vocoder artifact) via
+        :mod:`~isp_tts_tpu.models.vocoder.interop`."""
+        from pathlib import Path as _P
+
+        if _P(path).suffix in (".pt", ".pts", ".pth", ".bin"):
+            from .interop import load_torch_vocoder
+
+            return load_torch_vocoder(path, **kwargs)
+        return super().from_pretrained(path, **kwargs)
 
     def prepare_inputs(self, batch: dict) -> dict:
         return {"audio": batch["audio"]}

@@ -2,8 +2,10 @@
 
 Parity with `notebooks/inference.ipynb`: checkpoint -> text front-end ->
 ``model.infer`` (duration/pitch/energy controls) -> vocoder -> wav. The
-built-in vocoder is jittable Griffin-Lim; an external neural vocoder
-(TorchScript, e.g. Vocos) can be plugged via ``--vocoder path.pts``.
+built-in vocoder is jittable Griffin-Lim; a neural vocoder is plugged via
+``--vocoder`` — an in-repo VocoderModel ``.ckpt`` or the reference's torch
+Vocos artifact (``.pts``/``.pt``/``.bin``, converted on load and run on the
+accelerator — see models/vocoder/interop.py).
 
     python -m isp_tts_tpu.synthesize --checkpoint ckpt.ckpt \
         --text "Hello world." --output out.wav [--steps 4]
@@ -38,8 +40,8 @@ def main(argv=None):
     parser.add_argument("--sample-rate", type=int, default=22050)
     parser.add_argument("--vocoder", default=None,
                         help="neural vocoder: an isp_tts_tpu VocoderModel "
-                             "checkpoint (.ckpt) or a TorchScript file "
-                             "(default: Griffin-Lim)")
+                             "checkpoint (.ckpt) or a torch Vocos checkpoint "
+                             "(.pts/.pt/.bin) (default: Griffin-Lim)")
     parser.add_argument("--griffin-lim-iters", type=int, default=48)
     args = parser.parse_args(argv)
 
@@ -88,22 +90,16 @@ def main(argv=None):
     log.info("acoustic: %d frames in %.3fs", n_frames, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
-    if args.vocoder and str(args.vocoder).endswith(".ckpt"):
-        # in-repo neural vocoder (models.vocoder.VocoderModel checkpoint):
-        # runs on the accelerator, no torch involved
+    if args.vocoder:
+        # neural vocoder: an in-repo VocoderModel .ckpt, or a torch Vocos
+        # checkpoint (.pts/.pt/.bin — the reference's artifact) converted
+        # through models.vocoder.interop. Either way the generator runs on
+        # the accelerator; torch is only used (read-only) to decode weights.
         from .models import VocoderModel
 
         vocoder = VocoderModel.from_pretrained(args.vocoder)
         vocoder.eval()
         audio = np.clip(np.asarray(vocoder.infer(mel))[0], -1.0, 1.0)
-    elif args.vocoder:
-        import torch
-
-        vocoder = torch.jit.load(args.vocoder)
-        with torch.inference_mode():
-            wav = vocoder.infer(torch.from_numpy(
-                np.asarray(mel).transpose(0, 2, 1)).half())
-        audio = np.clip(wav.float().numpy()[0], -1.0, 1.0)
     else:
         from .ops.vocoder import mel_to_audio
 
