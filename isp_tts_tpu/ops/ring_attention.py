@@ -1,0 +1,129 @@
+"""Ring attention: sequence-parallel ALiBi attention over a mesh axis.
+
+Long-context capability (SURVEY.md §5.7): when a sequence is too long for
+one chip's HBM, shard it across devices and rotate K/V shards around the
+ring with ``ppermute`` while each device accumulates the online softmax for
+its local queries. Logit semantics (learned two-sided ALiBi with
+``offset``, global ``key_lens``/``q_lens`` raggedness, optional causal)
+match :func:`ops.flash_attention.flash_attention` and the einsum oracle
+(:func:`ops.attention.scaled_dot_product_attention`) exactly — tested
+against both on a virtual 8-device mesh.
+
+Pure-JAX by design: the per-step chunk attention is an einsum pipeline XLA
+fuses well, ``ppermute`` rides ICI, and autodiff works through the whole
+ring (``shard_map`` + ``lax.scan``) — so the same op serves training (with
+``remat=True`` the per-step logits are recomputed in the backward, keeping
+memory at one (n_local x m_local) block per device) and serving. The
+single-device Pallas flash kernel remains the intra-chip fast path; this op
+is the inter-chip layer above it.
+
+The reference has no distributed-attention equivalent (its Attend,
+tts/modules/transformer/attend.py, is single-GPU SDPA) — this is TPU-first
+scaling machinery.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .attention import NEG_INF
+
+
+def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                   slopes: jnp.ndarray, key_lens: jnp.ndarray,
+                   scale: float, *, axis_name: str, offset: int = 0,
+                   q_lens: jnp.ndarray | None = None, causal: bool = False,
+                   remat: bool = True) -> jnp.ndarray:
+    """Sequence-parallel attention; call INSIDE ``shard_map``.
+
+    Args:
+      q: (B, H, n_local, D) local query shard (sequence axis sharded over
+        ``axis_name``; shard i holds rows [i*n_local, (i+1)*n_local)).
+      k, v: (B, Hkv, m_local, D) local key/value shards, same layout.
+        ``Hkv`` may be 1 (MQA) or H.
+      slopes: (2, H) ALiBi slopes (lower, upper) — same contract as
+        ``flash_attention``; zeros disable the bias.
+      key_lens: (B,) GLOBAL valid key lengths (replicated).
+      scale: logit scale.
+      axis_name: mesh axis the sequence is sharded over.
+      offset: ALiBi/causal diagonal offset (key_pos - offset aligns with
+        query_pos), as in the flash kernel.
+      q_lens: (B,) GLOBAL valid query lengths; dead rows emit zeros.
+      causal: mask key positions > query position + offset.
+      remat: checkpoint each ring step (recompute chunk logits in the
+        backward instead of saving n_shards blocks of (n_local, m_local)).
+
+    Returns:
+      (B, H, n_local, D) attention output for the local queries.
+    """
+    n_shards = jax.lax.psum(1, axis_name)
+    me = jax.lax.axis_index(axis_name)
+    B, H, n_local, D = q.shape
+    m_local = k.shape[2]
+    multi_query = k.shape[1] == 1 and H != 1
+
+    rows = me * n_local + jnp.arange(n_local)  # global query positions
+    qf = q.astype(jnp.float32)
+    slopes_lo = slopes[0].astype(jnp.float32)[:, None, None]  # (H, 1, 1)
+    slopes_hi = slopes[1].astype(jnp.float32)[:, None, None]
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def step(carry, t):
+        k_c, v_c, m, l, o = carry
+        src = (me - t) % n_shards  # whose chunk we hold at step t
+        cols = src * m_local + jnp.arange(m_local)  # global key positions
+
+        kf = k_c.astype(jnp.float32)
+        if multi_query:
+            s = jnp.einsum("bhnd,bmd->bhnm", qf, kf[:, 0],
+                           preferred_element_type=jnp.float32)
+        else:
+            s = jnp.einsum("bhnd,bhmd->bhnm", qf, kf,
+                           preferred_element_type=jnp.float32)
+        s = s * scale
+
+        dist = -jnp.abs(cols[None, :] - rows[:, None] - offset).astype(jnp.float32)
+        lower = cols[None, :] <= rows[:, None] + offset
+        s = s + jnp.where(lower, slopes_lo * dist, slopes_hi * dist)
+
+        valid = (cols[None, :] < key_lens[:, None])[:, None, None, :]
+        if causal:
+            valid = valid & lower[None, None]
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jax.lax.stop_gradient(
+            jnp.max(s, axis=-1, keepdims=True)))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(valid, p, 0.0)  # fully-masked rows: keep l at 0
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if multi_query:
+            pv = jnp.einsum("bhnm,bmd->bhnd", p, v_c[:, 0].astype(jnp.float32))
+        else:
+            pv = jnp.einsum("bhnm,bhmd->bhnd", p, v_c.astype(jnp.float32))
+        o = o * alpha + pv
+
+        k_c = jax.lax.ppermute(k_c, axis_name, perm)
+        v_c = jax.lax.ppermute(v_c, axis_name, perm)
+        return (k_c, v_c, m_new, l, o), None
+
+    if remat:
+        step = jax.checkpoint(step)
+
+    m0 = jnp.full((B, H, n_local, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, H, n_local, 1), jnp.float32)
+    o0 = jnp.zeros((B, H, n_local, D), jnp.float32)
+    if hasattr(jax.lax, "pcast"):  # newer jax: constants start axis-invariant
+        m0, l0, o0 = (jax.lax.pcast(x, (axis_name,), to="varying")
+                      for x in (m0, l0, o0))
+    elif hasattr(jax.lax, "pvary"):
+        m0, l0, o0 = (jax.lax.pvary(x, (axis_name,)) for x in (m0, l0, o0))
+    (_, _, _, l, o), _ = jax.lax.scan(
+        step, (k, v, m0, l0, o0), jnp.arange(n_shards))
+
+    ok = l[..., 0] > 0.0  # saw >= 1 valid key
+    if q_lens is not None:
+        ok = ok & (rows[None, None, :] < q_lens[:, None, None])
+    out = o / jnp.maximum(l, 1e-30)
+    return jnp.where(ok[..., None], out, 0.0).astype(q.dtype)
