@@ -47,6 +47,9 @@ SPEAKERS = {
     "spk0": {"f0": 115.0, "formant_scale": 1.0},
     "spk1": {"f0": 165.0, "formant_scale": 1.1},
     "spk2": {"f0": 215.0, "formant_scale": 1.2},
+    # held-out voice for fine-tune runs: F0/formants OUTSIDE the training
+    # speakers' range (tools/finetune_synth.py)
+    "spk_new": {"f0": 92.0, "formant_scale": 0.88},
 }
 
 
@@ -137,13 +140,15 @@ def random_text(rng: np.random.RandomState) -> str:
     return " ".join(words) + "."
 
 
-def generate(root: Path, n_utts: int = 300, seed: int = 0) -> None:
+def generate(root: Path, n_utts: int = 300, seed: int = 0,
+             speakers: list[str] | None = None) -> None:
     from isp_tts_tpu.data.audio import write_wav
 
     rng = np.random.RandomState(seed)
     (root / "wavs").mkdir(parents=True, exist_ok=True)
     lines = []
-    speakers = sorted(SPEAKERS)
+    # default: the 3 training voices (spk_new is fine-tune-only)
+    speakers = speakers or ["spk0", "spk1", "spk2"]
     for i in range(n_utts):
         text = random_text(rng)
         speaker = speakers[i % len(speakers)]
@@ -164,5 +169,7 @@ if __name__ == "__main__":
     ap.add_argument("--root", type=Path, required=True)
     ap.add_argument("--n", type=int, default=300)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speakers", nargs="+", default=None,
+                    help="speaker names (default spk0 spk1 spk2)")
     args = ap.parse_args()
-    generate(args.root, args.n, args.seed)
+    generate(args.root, args.n, args.seed, args.speakers)
