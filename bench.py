@@ -87,15 +87,18 @@ def _run():
     durations = jax.device_put(
         np.full((BATCH, TEXT_LEN), MAX_DEC_LEN // TEXT_LEN, np.float32))
 
-    def make(n_iter, predicted: bool):
+    def make(n_iter, predicted: bool, inputs=None):
+        b_text, b_lens, b_dur, b_dec = inputs or (text, lens, durations,
+                                                  MAX_DEC_LEN)
+
         @jax.jit
         def synth_many(state, key):
             m = nnx.merge(graphdef, state)
 
             def body(carry, k):
                 mel, _ = m.infer(
-                    text, text_lengths=lens, max_dec_len=MAX_DEC_LEN,
-                    duration_target=None if predicted else durations,
+                    b_text, text_lengths=b_lens, max_dec_len=b_dec,
+                    duration_target=None if predicted else b_dur,
                     steps=ODE_STEPS, key=k, pitch_delta=carry)
                 nxt = jnp.minimum(jnp.abs(jnp.mean(mel)), 0.0).astype(jnp.float32)
                 return nxt, jnp.mean(mel).astype(jnp.float32)
@@ -111,20 +114,38 @@ def _run():
         np.asarray(f(state, key))  # host fetch forces completion
         return time.perf_counter() - t0
 
-    def measure(predicted: bool) -> float:
-        f_small, f_large = make(N_SMALL, predicted), make(N_LARGE, predicted)
+    def measure(predicted: bool, inputs=None, n_small=N_SMALL,
+                n_large=N_LARGE) -> float:
+        f_small = make(n_small, predicted, inputs)
+        f_large = make(n_large, predicted, inputs)
         o = np.asarray(f_small(state, jax.random.PRNGKey(0)))  # warm/compile
         np.asarray(f_large(state, jax.random.PRNGKey(0)))
         assert np.isfinite(o).all()
         t_small = min(timed(f_small, jax.random.PRNGKey(i)) for i in (1, 2))
         t_large = min(timed(f_large, jax.random.PRNGKey(i)) for i in (3, 4))
-        return (t_large - t_small) / (N_LARGE - N_SMALL)
+        return (t_large - t_small) / (n_large - n_small)
 
     per_call = measure(predicted=False)
     # the real serving path: durations predicted by the flow (exp/round/clip
     # + soft-path construction included in the measured program); shapes stay
     # static at max_dec_len so cost is shape-independent (VERDICT r1 weak #8)
     per_call_pred = measure(predicted=True)
+
+    # single-stream latency (BASELINE.md tracked metric "RTF at batch 1"):
+    # one ~8-word utterance, 4 ODE steps, device time per call. Reference
+    # warm number: 31.5 ms on a Colab GPU (training.ipynb cell 26).
+    B1_TEXT, B1_DEC = 32, 256  # 32 tokens -> 256 frames ~= 2.97 s of speech
+    b1_inputs = (
+        jax.device_put(rng.randint(2, 148, size=(1, B1_TEXT)).astype(np.int32)),
+        jax.device_put(np.full((1,), B1_TEXT, np.int32)),
+        jax.device_put(np.full((1, B1_TEXT), B1_DEC // B1_TEXT, np.float32)),
+        B1_DEC,
+    )
+    # per-iteration device time at B=1 is sub-ms, so the 2-vs-12 iteration
+    # difference drowns in relay dispatch jitter — chain two orders of
+    # magnitude more iterations to pull the signal out
+    per_call_b1 = measure(predicted=True, inputs=b1_inputs,
+                          n_small=64, n_large=512)
 
     # text -> WAVEFORM: mel synthesis + the TPU-native matmul-DFT Griffin-Lim
     # (ops/vocoder.griffin_lim_matmul — no complex dtypes/FFT/scatter) fused
@@ -209,9 +230,12 @@ def _run():
     xrt_pred = frames * HOP / SAMPLE_RATE / per_call_pred
     xrt_audio = frames * HOP / SAMPLE_RATE / per_call_audio
 
+    b1_audio_s = B1_DEC * HOP / SAMPLE_RATE
+
     print(f"device={jax.devices()[0]} per-call={per_call*1000:.2f}ms "
           f"(predicted-duration {per_call_pred*1000:.2f}ms, "
-          f"text->waveform {per_call_audio*1000:.2f}ms) "
+          f"text->waveform {per_call_audio*1000:.2f}ms, "
+          f"b1 latency {per_call_b1*1000:.2f}ms) "
           f"mel_frames/s={frames/per_call:,.0f}", file=sys.stderr)
     result = {
         "metric": "mel_synthesis_xrt_b32",
@@ -220,6 +244,8 @@ def _run():
         "vs_baseline": round(xrt / BASELINE_XRT, 2),
         "predicted_duration_xrt": round(xrt_pred, 1),
         "audio_xrt_b32": round(xrt_audio, 1),
+        "b1_latency_ms": round(per_call_b1 * 1000, 2),
+        "b1_xrt": round(b1_audio_s / per_call_b1, 1),
     }
     if per_call_voc is not None:
         result["neural_vocoder_xrt_b32"] = round(
