@@ -76,8 +76,9 @@ def _strip_wrapper_prefix(state: dict) -> dict:
 def convert_vocos_state(torch_state: dict) -> dict[str, np.ndarray]:
     """{official vocos name: tensor/array} -> {our dotted name: np.float32}.
 
-    Unrecognized keys are dropped with a warning (so a non-vocos checkpoint
-    fails loudly downstream via ``load_params`` rather than silently here).
+    Unrecognized keys are dropped with a warning; ``load_torch_vocoder``
+    then enforces exact generator coverage, so a non-vocos checkpoint
+    raises rather than half-loading.
     """
     torch_state = _strip_wrapper_prefix(
         {str(k): v for k, v in torch_state.items()})
@@ -140,13 +141,18 @@ def infer_generator_config(flat: dict[str, np.ndarray], hop_length: int) -> dict
 
 def load_torch_vocoder(path: str | Path, hop_length: int = 256,
                        sample_rate: int = 22050,
-                       f_min: float = 0.0, f_max: float | None = 8000.0):
+                       f_min: float = 0.0, f_max: float | None = 8000.0,
+                       rngs=None):
     """Load a torch Vocos checkpoint (TorchScript ``.pts`` or state dict)
     into a :class:`VocoderModel` running on the TPU compute path.
 
     ``hop_length``/``sample_rate``/``f_min``/``f_max`` are not recoverable
     from the weights; the defaults are the reference's mel contract
     (22.05 kHz, hop 256 — `/root/reference/configs/data/*.yaml`).
+
+    Raises ``ValueError`` unless the converted weights cover EVERY generator
+    tensor — a Vocos-variant checkpoint must fail here, not ship a model
+    with random-init layers.
     """
     import torch
 
@@ -187,7 +193,18 @@ def load_torch_vocoder(path: str | Path, hop_length: int = 256,
             "f_max": f_max,
         },
     })
-    model = VocoderModel(config, rngs=nnx.Rngs(0))
+    model = VocoderModel(config, rngs=rngs or nnx.Rngs(0))
+    # every generator tensor must come from the checkpoint: a partially
+    # matching (Vocos-variant) file would otherwise keep random-init layers
+    # and "succeed" into producing noise
+    want = {k for k in model.state_dict() if k.startswith("generator.")}
+    missing = want - set(flat)
+    extra = set(flat) - want
+    if missing or extra:
+        raise ValueError(
+            f"{p}: not an exact Vocos generator layout — "
+            f"missing {sorted(missing)[:4]}{'...' if len(missing) > 4 else ''}, "
+            f"unmapped {sorted(extra)[:4]}{'...' if len(extra) > 4 else ''}")
     model.load_params(flat)
     logger.info("loaded torch Vocos vocoder from %s: %d tensors, dim=%d, "
                 "layers=%d, n_fft=%d", p, len(flat), gen_cfg["dim"],

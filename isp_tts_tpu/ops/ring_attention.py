@@ -69,8 +69,8 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     slopes_hi = slopes[1].astype(jnp.float32)[:, None, None]
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
-    def step(carry, t):
-        k_c, v_c, m, l, o = carry
+    def accumulate(k_c, v_c, m, l, o, t):
+        """Fold the chunk held at ring step ``t`` into the online softmax."""
         src = (me - t) % n_shards  # whose chunk we hold at step t
         cols = src * m_local + jnp.arange(m_local)  # global key positions
 
@@ -102,25 +102,28 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
             pv = jnp.einsum("bhnm,bmd->bhnd", p, v_c[:, 0].astype(jnp.float32))
         else:
             pv = jnp.einsum("bhnm,bhmd->bhnd", p, v_c.astype(jnp.float32))
-        o = o * alpha + pv
+        return m_new, l, o * alpha + pv
 
+    def step(carry, t):
+        k_c, v_c, m, l, o = carry
+        m, l, o = accumulate(k_c, v_c, m, l, o, t)
         k_c = jax.lax.ppermute(k_c, axis_name, perm)
         v_c = jax.lax.ppermute(v_c, axis_name, perm)
-        return (k_c, v_c, m_new, l, o), None
+        return (k_c, v_c, m, l, o), None
 
     if remat:
         step = jax.checkpoint(step)
 
-    m0 = jnp.full((B, H, n_local, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((B, H, n_local, 1), jnp.float32)
-    o0 = jnp.zeros((B, H, n_local, D), jnp.float32)
-    if hasattr(jax.lax, "pcast"):  # newer jax: constants start axis-invariant
-        m0, l0, o0 = (jax.lax.pcast(x, (axis_name,), to="varying")
-                      for x in (m0, l0, o0))
-    elif hasattr(jax.lax, "pvary"):
-        m0, l0, o0 = (jax.lax.pvary(x, (axis_name,)) for x in (m0, l0, o0))
-    (_, _, _, l, o), _ = jax.lax.scan(
-        step, (k, v, m0, l0, o0), jnp.arange(n_shards))
+    from ..utils.jax_compat import pvary
+
+    m0 = pvary(jnp.full((B, H, n_local, 1), NEG_INF, jnp.float32), axis_name)
+    l0 = pvary(jnp.zeros((B, H, n_local, 1), jnp.float32), axis_name)
+    o0 = pvary(jnp.zeros((B, H, n_local, D), jnp.float32), axis_name)
+    # scan rotates after each accumulate; the LAST chunk is folded outside
+    # the scan so no dead final ppermute rides the ring (n-1 hops total)
+    (k_c, v_c, m, l, o), _ = jax.lax.scan(
+        step, (k, v, m0, l0, o0), jnp.arange(n_shards - 1))
+    _, l, o = accumulate(k_c, v_c, m, l, o, n_shards - 1)
 
     ok = l[..., 0] > 0.0  # saw >= 1 valid key
     if q_lens is not None:

@@ -25,13 +25,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-
-def _pvary(x, axis_name):
-    if hasattr(jax.lax, "pcast"):
-        return jax.lax.pcast(x, (axis_name,), to="varying")
-    if hasattr(jax.lax, "pvary"):
-        return jax.lax.pvary(x, (axis_name,))
-    return x
+from ..utils.jax_compat import pvary
 
 
 def pipeline_apply(layer_fn: Callable, stage_params, x: jnp.ndarray,
@@ -65,8 +59,7 @@ def pipeline_apply(layer_fn: Callable, stage_params, x: jnp.ndarray,
     # send stage i -> i+1; the wrap edge (S-1 -> 0) carries no live data
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def tick(carry, t):
-        h_in, = carry
+    def compute(h_in, t):
         # stage 0 ingests microbatch t while t < n_micro (afterwards it
         # drains the pipe with dummy zeros that are never emitted)
         mb = jax.lax.dynamic_index_in_dim(
@@ -74,15 +67,21 @@ def pipeline_apply(layer_fn: Callable, stage_params, x: jnp.ndarray,
         h = jnp.where(is_first, mb, h_in)
         h = layer_fn(stage_params, h)
         # the last stage emits microbatch (t - (S-1)) at tick t
-        out = jnp.where(is_last, h, jnp.zeros_like(h))
-        h_next = jax.lax.ppermute(h, axis_name, perm)
-        return (h_next,), out
+        return h, jnp.where(is_last, h, jnp.zeros_like(h))
+
+    def tick(carry, t):
+        h, out = compute(carry[0], t)
+        return (jax.lax.ppermute(h, axis_name, perm),), out
 
     if remat:
         tick = jax.checkpoint(tick)
 
-    h0 = _pvary(jnp.zeros_like(x[0]), axis_name)
-    (_,), outs = jax.lax.scan(tick, (h0,), jnp.arange(ticks))
+    h0 = pvary(jnp.zeros_like(x[0]), axis_name)
+    # the last tick's activation goes nowhere — compute it outside the scan
+    # so no dead final ppermute is paid (ticks - 1 hops total)
+    (h_last,), outs = jax.lax.scan(tick, (h0,), jnp.arange(ticks - 1))
+    _, out_last = compute(h_last, ticks - 1)
+    outs = jnp.concatenate([outs, out_last[None]], axis=0)
 
     # outs: (ticks, B_micro, ...) — nonzero only on the last stage at ticks
     # >= S-1. Replicate to every stage (psum: all other stages contributed

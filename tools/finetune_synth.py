@@ -33,8 +33,8 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-from tools.train_synth import (HistoryDumper, plot_curves,  # noqa: E402
-                               save_eval_images)
+from tools.train_synth import (SYNTH_COLLATOR, SYNTH_STATS,  # noqa: E402
+                               HistoryDumper, plot_curves, save_eval_images)
 
 REPO = Path(__file__).parent.parent
 
@@ -81,13 +81,11 @@ def build_overrides(root: Path, run_root: Path, steps: int, base_ckpt: str,
             "speaker": {"spk_new": 0},
             "_train_": {"meta_name": "meta_train.csv"},
             "_eval_": {"meta_name": "meta_valid.csv"},
-            # MUST match the base run's normalization (train_synth.py) —
-            # the warm-started adaptor was trained against these stats
-            "stats": {"pitch": {"mean": 170.0, "std": 55.0},
-                      "energy": {"mean": 0.0, "std": 1.0}},
+            # MUST match the base run's normalization — the warm-started
+            # adaptor was trained against these stats
+            "stats": dict(SYNTH_STATS),
         },
-        "collator": {"text_pad_multiple": 16, "mel_pad_multiple": 64,
-                     "max_text_len": 48, "max_mel_len": 320},
+        "collator": dict(SYNTH_COLLATOR),
         "model": {
             "num_speakers": 3,  # matches the warm-start checkpoint shapes
             "encoder": {"transformer_layer": {
@@ -142,7 +140,9 @@ def synthesize_sample(trainer, assets: Path, tag: str):
     mel, adaptor = model.infer(
         jnp.asarray(data.vector)[None], max_dec_len=512, steps=4,
         speaker=jnp.asarray([0], jnp.int32))
-    mel = mel[:, : int(adaptor.dec_lengths[0])]
+    # degenerate models can predict 0 frames (synthesize.py clamps the same
+    # way); keep one frame so the vocoder has something to invert
+    mel = mel[:, : max(int(adaptor.dec_lengths[0]), 1)]
 
     voc_path = REPO / "docs/assets/vocoder_r3/vocoder_synth_r3.f16.ckpt"
     if voc_path.exists():

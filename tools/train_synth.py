@@ -26,6 +26,14 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+# normalization + bucketing shared with tools/finetune_synth.py — a warm
+# start is only valid against the stats the base run trained with
+SYNTH_STATS = {"pitch": {"mean": 170.0, "std": 55.0},
+               "energy": {"mean": 0.0, "std": 1.0}}
+SYNTH_COLLATOR = {"text_pad_multiple": 16, "mel_pad_multiple": 64,
+                  "max_text_len": 48, "max_mel_len": 320}
+
+
 def build_overrides(root: Path, run_root: Path, steps: int):
     return {
         "dataset": {
@@ -35,11 +43,9 @@ def build_overrides(root: Path, run_root: Path, steps: int):
             "_train_": {"meta_name": "meta_train.csv"},
             "_eval_": {"meta_name": "meta_valid.csv"},
             # synthetic speakers span ~90-280 Hz by construction
-            "stats": {"pitch": {"mean": 170.0, "std": 55.0},
-                      "energy": {"mean": 0.0, "std": 1.0}},
+            "stats": dict(SYNTH_STATS),
         },
-        "collator": {"text_pad_multiple": 16, "mel_pad_multiple": 64,
-                     "max_text_len": 48, "max_mel_len": 320},
+        "collator": dict(SYNTH_COLLATOR),
         "model": {"num_speakers": 3},
         "trainer": {
             "output_dir": str(run_root),
