@@ -162,6 +162,30 @@ class Synthesizer:
         audio = np.clip(audio, -1.0, 1.0)
         return [audio[i, : int(dec_lens[i]) * hop] for i in range(B)]
 
+    def synthesize_long(self, text: str, seed: int = 0, pause_s: float = 0.25,
+                        **controls) -> np.ndarray:
+        """Long-form synthesis: split ``text`` into sentences, synthesize
+        them as ONE batch (each sentence buckets independently of document
+        length, so arbitrarily long inputs never exceed the text buckets),
+        and stitch the waveforms with ``pause_s`` of silence. Returns one
+        float32 waveform."""
+        import re
+
+        parts = [p.strip() for p in
+                 re.split(r"(?<=[.!?…])\s+", text.strip()) if p.strip()]
+        if not parts:
+            raise ValueError("empty text")
+        wavs = self.synthesize_audio(parts, seed=seed, **controls)
+        sr = (self.vocoder.features_config.sample_rate
+              if self.vocoder is not None else 22050)
+        pause = np.zeros(int(pause_s * sr), np.float32)
+        pieces: list[np.ndarray] = []
+        for i, w in enumerate(wavs):
+            pieces.append(w)
+            if i < len(wavs) - 1:
+                pieces.append(pause)
+        return np.concatenate(pieces)
+
     def _vocoder_executable(self, frames: int, batch: int):
         key = (frames, batch)
         fn = self._voc_compiled.get(key)

@@ -157,3 +157,22 @@ def test_synthesizer_uses_checkpoint_encoding_map():
         Synthesizer(model, SynthesizerConfig(
             text_buckets=(16,), frame_budgets=(64,),
             charset=("<pad>", "</s>", "#punct", "#en")))
+
+
+def test_synthesize_long_stitches_sentences(synthesizer):
+    """Long-form path: sentence split -> one batch -> waveform with pauses.
+    A document longer than the largest text bucket works as long as each
+    sentence fits."""
+    text = "hello there. this is a test! short one? final bit."
+    wav = synthesizer.synthesize_long(text, pause_s=0.1)
+    assert wav.ndim == 1 and wav.dtype == np.float32
+    assert np.isfinite(wav).all()
+
+    # stitched length == sum of per-sentence waveforms + 3 pauses
+    parts = synthesizer.synthesize_audio(
+        ["hello there.", "this is a test!", "short one?", "final bit."])
+    expect = sum(len(p) for p in parts) + 3 * int(0.1 * 22050)
+    assert len(wav) == expect
+
+    with pytest.raises(ValueError):
+        synthesizer.synthesize_long("   ")
