@@ -150,6 +150,18 @@ def _run():
     per_call_b1 = measure(predicted=True, inputs=b1_inputs,
                           n_small=64, n_large=512)
 
+    # bf16 serving weights (serving.cast_float_state): B=1 is weights-
+    # streaming-bound, so halving HBM bytes should show directly
+    from isp_tts_tpu.serving import cast_float_state
+
+    state_f32 = state
+    state = cast_float_state(state, "bf16")
+    try:
+        per_call_b1_bf16 = measure(predicted=True, inputs=b1_inputs,
+                                   n_small=64, n_large=512)
+    finally:
+        state = state_f32
+
     # text -> WAVEFORM: mel synthesis + the TPU-native matmul-DFT Griffin-Lim
     # (ops/vocoder.griffin_lim_matmul — no complex dtypes/FFT/scatter) fused
     # into one jitted program; the committed number is audible end-to-end
@@ -202,6 +214,7 @@ def _run():
         "audio_xrt_b32": round(xrt_audio, 1),
         "b1_latency_ms": round(per_call_b1 * 1000, 2),
         "b1_xrt": round(b1_audio_s / per_call_b1, 1),
+        "b1_latency_bf16w_ms": round(per_call_b1_bf16 * 1000, 2),
     }
     if per_call_voc is not None:
         result["neural_vocoder_xrt_b32"] = round(

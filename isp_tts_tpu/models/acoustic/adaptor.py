@@ -252,7 +252,10 @@ class FlowTransformerTemporalModule(nnx.Module):
             t, dt = inputs
             t_emb = self.time_embedding(jnp.full((B,), t, dtype=x.dtype))
             v = self._velocity(x_t, x, t_emb, mask)
-            return x_t + v * dt, None
+            # keep the carry dtype stable: v's dtype follows the weight/
+            # compute policy (e.g. bf16 serving weights), and a promoted
+            # x_t + v*dt would flip the scan carry type mid-loop
+            return x_t + (v * dt).astype(x_t.dtype), None
 
         x_t, _ = jax.lax.scan(euler_step, x_t, (t_start, dt))
         return x_t * mask[..., None].astype(x_t.dtype)

@@ -176,3 +176,34 @@ def test_synthesize_long_stitches_sentences(synthesizer):
 
     with pytest.raises(ValueError):
         synthesizer.synthesize_long("   ")
+
+
+def test_synthesizer_bf16_weights_close_to_f32():
+    """weights_dtype='bf16' halves serving HBM traffic; outputs must stay
+    close to the f32-weight path (same tokens, same seed)."""
+    from isp_tts_tpu.data.text.table import CodingTable
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    cfg_dict = dict(TINY, encoding_map=dict(ct.encoding_map))
+    model = AcousticModel(build_config(AcousticModelConfig, cfg_dict),
+                          rngs=nnx.Rngs(0))
+    kw = dict(text_buckets=(16,), frame_budgets=(64,), frames_per_token=4.0,
+              steps=2, charset=tuple(charset))
+    full = Synthesizer(model, SynthesizerConfig(**kw))
+    half = Synthesizer(model, SynthesizerConfig(weights_dtype="bf16", **kw))
+
+    import jax.numpy as jnp
+    leaves = [l for l in __import__("jax").tree.leaves(half._state)
+              if hasattr(l, "dtype")]
+    assert any(l.dtype == jnp.bfloat16 for l in leaves)
+    assert not any(l.dtype == jnp.float32 for l in leaves
+                   if jnp.issubdtype(l.dtype, jnp.floating))
+
+    a = full("hello world.")[0]
+    b = half("hello world.")[0]
+    assert b.shape[1] == a.shape[1]
+    n = min(a.shape[0], b.shape[0])
+    assert n > 0 and np.isfinite(b).all()
+    # bf16 weights shift rounding; mel values span ~[-11, 2]
+    assert np.mean(np.abs(a[:n] - b[:n])) < 0.3
