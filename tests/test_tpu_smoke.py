@@ -163,3 +163,25 @@ def test_smoke_ctc_pallas_fwd_bwd():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                atol=5e-3)
+
+
+@requires_tpu
+def test_smoke_neural_vocoder_infer():
+    """The committed convergence-run vocoder generates audio on-chip: one
+    matmul-iSTFT pass, finite, correct length (hop samples per mel frame)."""
+    from pathlib import Path
+
+    from isp_tts_tpu.models import VocoderModel
+
+    ckpt = (Path(__file__).parent.parent
+            / "docs/assets/vocoder_r3/vocoder_synth_r3.f16.ckpt")
+    if not ckpt.exists():
+        pytest.skip("committed vocoder checkpoint not present")
+    voc = VocoderModel.from_pretrained(ckpt)
+    voc.eval()
+    mel = jnp.asarray(
+        np.random.RandomState(0).randn(2, 64, 80).astype(np.float32) * 2 - 6)
+    wav = np.asarray(voc.infer(mel))
+    assert wav.shape == (2, 64 * voc.features_config.hop_length)
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() > 0
