@@ -79,6 +79,83 @@ def loss_history(trainer):
             if "train_step/loss" in h]
 
 
+def cross_host_collectives(pid):
+    """Phase 3: the sequence-parallel ring and the GPipe pipeline over the
+    GLOBAL 8-device mesh — with >1 process the ``ppermute`` hop between
+    device 3 and device 4 crosses the host boundary, executing the
+    cross-host collective path no single-process test can reach. Each
+    process compares against a locally computed oracle."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+    from isp_tts_tpu.ops.attention import scaled_dot_product_attention
+    from isp_tts_tpu.ops.ring_attention import ring_attention
+    from isp_tts_tpu.parallel.mesh import gather_to_host
+    from isp_tts_tpu.parallel.pipeline import microbatch, pipeline_apply
+
+    mesh = Mesh(np.asarray(jax.devices()), ("seq",))
+
+    def garray(x, spec):
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+    # --- ring attention ---
+    B, H, N, D = 2, 4, 64, 16
+    rng = np.random.RandomState(7)  # same seed on every process
+    q, k, v = (rng.randn(B, H, N, D).astype(np.float32) * 0.4
+               for _ in range(3))
+    sl = np.asarray(alibi_slopes(H), np.float32)
+    slopes2 = np.stack([sl, sl])
+    key_lens = np.asarray([N, N - 11], np.int32)
+    scale = D ** -0.5
+    seq = P(None, None, "seq", None)
+
+    out = jax.jit(jax.shard_map(
+        lambda q, k, v, s, kl: ring_attention(
+            q, k, v, s, kl, scale, axis_name="seq"),
+        mesh=mesh, in_specs=(seq, seq, seq, P(), P()), out_specs=seq))(
+        garray(q, seq), garray(k, seq), garray(v, seq),
+        garray(slopes2, P()), garray(key_lens, P()))
+    out = gather_to_host(out)
+
+    i = np.arange(N)[:, None]
+    j = np.arange(N)[None, :]
+    bias = sl[:, None, None] * -np.abs(j - i).astype(np.float32)
+    mask = (j < key_lens[:, None])[:, None, None, :]
+    ref = np.asarray(scaled_dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale,
+        bias=jnp.asarray(bias)[None], mask=jnp.asarray(mask)))
+    ring_err = float(np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-9))
+
+    # --- pipeline ---
+    S, Dp, Bp, n_micro = 8, 16, 16, 4
+    W = rng.randn(S, Dp, Dp).astype(np.float32) / np.sqrt(Dp)
+    b = rng.randn(S, Dp).astype(np.float32) * 0.1
+    x = rng.randn(Bp, Dp).astype(np.float32)
+
+    def layer(p, h):
+        return jax.nn.gelu(h @ p[0][0] + p[1][0])
+
+    pout = jax.jit(jax.shard_map(
+        lambda W, b, xm: pipeline_apply(layer, (W, b), xm, axis_name="seq"),
+        mesh=mesh, in_specs=(P("seq"), P("seq"), P()), out_specs=P()))(
+        garray(W, P("seq")), garray(b, P("seq")),
+        garray(microbatch(jnp.asarray(x), n_micro), P()))
+    pout = gather_to_host(pout).reshape(Bp, Dp)
+    pref = x
+    for s in range(S):
+        pref = np.asarray(jax.nn.gelu(pref @ W[s] + b[s]))
+    pipe_err = float(np.max(np.abs(pout - pref))
+                     / (np.max(np.abs(pref)) + 1e-9))
+    print(f"worker {pid} phase3: ring_err={ring_err:.2e} "
+          f"pipe_err={pipe_err:.2e}")
+    return {"ring_rel_err": ring_err, "pipeline_rel_err": pipe_err}
+
+
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     root, outdir = sys.argv[4], sys.argv[5]
@@ -154,8 +231,10 @@ def main():
         "checkpoint_writes": list(writes),
     }
 
+    phase3 = cross_host_collectives(pid)
+
     result = {"process_id": pid, "num_processes": nproc,
-              "phase1": phase1, "phase2": phase2}
+              "phase1": phase1, "phase2": phase2, "phase3": phase3}
     with open(os.path.join(outdir, f"result_{nproc}p_{pid}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(f"worker {pid}/{nproc} done: phase1 losses={phase1['losses']}")

@@ -132,6 +132,13 @@ def test_two_process_training_matches_single_process(toy_root, tmp_path):
     np.testing.assert_allclose(r0["phase2"]["losses"][:2],
                                r0["phase1"]["losses"], rtol=1e-7)
 
+    # cross-host ppermute collectives: ring attention and the GPipe
+    # pipeline over the global 8-device mesh, checked vs local oracles by
+    # both processes (the device-3 -> device-4 hop crosses the host boundary)
+    for r in (r0, r1):
+        assert r["phase3"]["ring_rel_err"] < 1e-4, r["phase3"]
+        assert r["phase3"]["pipeline_rel_err"] < 1e-4, r["phase3"]
+
     # --- equivalence with a single-process 8-device run ---
     one = _run_group(1, toy_root, tmp_path / "mh1")[0]
     assert len(one["phase1"]["losses"]) == len(r0["phase1"]["losses"])
