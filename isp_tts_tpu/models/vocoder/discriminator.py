@@ -42,10 +42,18 @@ class VocoderDiscriminatorConfig:
 class WNConv(nnx.Module):
     """Weight-normalized 2-D convolution (torch ``weight_norm(Conv2d)``
     semantics): kernel = g * v / ||v||, norm over all axes but the output
-    channel. NHWC in, NHWC out."""
+    channel. NHWC in, NHWC out.
+
+    Follows the compute-dtype policy (f32 master params, norm computed in
+    f32, conv operands/activations in e.g. bf16 — MXU accumulation stays
+    f32): under the default bf16 training policy the discriminator ensemble
+    is the dominant cost of the GAN step, and f32 convs ran it at ~2x the
+    device time (docs/PERF_R3.md vocoder section)."""
 
     def __init__(self, in_features: int, out_features: int, kernel_size: tuple,
                  strides: tuple = (1, 1), *, rngs: nnx.Rngs):
+        from ...nn.policy import get_compute_dtype
+
         shape = (*kernel_size, in_features, out_features)
         v = nnx.initializers.he_normal(in_axis=(0, 1, 2), out_axis=3)(
             rngs.params(), shape, jnp.float32)
@@ -54,14 +62,16 @@ class WNConv(nnx.Module):
         self.bias = nnx.Param(jnp.zeros((out_features,), jnp.float32))
         self.strides = tuple(strides)
         self.padding = tuple((k // 2, k // 2) for k in kernel_size)
+        self._dtype = get_compute_dtype()
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         v = self.v.value
         norm = jnp.sqrt(jnp.sum(v * v, axis=(0, 1, 2), keepdims=True) + 1e-12)
-        kernel = v / norm * self.g.value  # (kh, kw, in, out)
+        kernel = v / norm * self.g.value  # f32 (kh, kw, in, out)
+        dtype = self._dtype or x.dtype
         out = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype), window_strides=self.strides,
-            padding=self.padding,
+            x.astype(dtype), kernel.astype(dtype),
+            window_strides=self.strides, padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return out + self.bias.value.astype(out.dtype)
 
