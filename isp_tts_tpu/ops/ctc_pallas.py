@@ -45,6 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 FRAME_BLOCK = 64
+#: batch rows per grid step — VMEM use is constant in the global batch (the
+#: whole-batch variant OOMed scoped VMEM at B >= 64); batch is the OUTER
+#: grid axis so the frame-streamed state scratch stays valid per block.
+#: 16 keeps the backward's 3-input + 1-output double-buffered working set
+#: near 8 MB (the W=T+1 lane dim pads to 256, so blocks are 2x their
+#: nominal bytes; 32 sat exactly at the 16 MB scoped-VMEM limit)
+BATCH_BLOCK = 16
 INTERPRET = False
 
 
@@ -69,9 +76,11 @@ def _shift_left(x, col, width, fill=NEG):
 
 def _fwd_kernel(lp_ref, ml_ref, ab_ref, al_ref, blank_ref, label_ref,
                 *, frame_block):
-    """lp_ref (F, B, T+1) frame-major log-probs; emits per-frame alphas."""
+    """lp_ref (F, B_blk, T+1) frame-major log-probs; emits per-frame alphas.
+    Grid is (batch blocks, frame blocks) — frames iterate innermost, so the
+    state scratch is re-initialized at frame block 0 of every batch block."""
     _, B, W = lp_ref.shape  # W = T + 1
-    blk = pl.program_id(0)
+    blk = pl.program_id(1)
     col = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
     @pl.when(blk == 0)
@@ -106,7 +115,7 @@ def _bwd_kernel(lp_ref, ab_ref, al_ref, ml_ref, tl_ref, gz_ref, dlp_ref,
                 bb_ref, bl_ref, *, frame_block, n_blk):
     """Reverse-streamed beta recursion + occupancy gradient emission."""
     _, B, W = lp_ref.shape
-    blk = pl.program_id(0)  # 0 is the LAST frame block (reversed index_map)
+    blk = pl.program_id(1)  # 0 is the LAST frame block (reversed index_map)
     col = jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
 
     @pl.when(blk == 0)
@@ -164,23 +173,29 @@ def ordered_ctc_neg_logp_pallas(logprobs, text_lens, mel_lens):
     return out
 
 
+def _batch_block(B: int) -> int:
+    return B if B <= BATCH_BLOCK else BATCH_BLOCK
+
+
 def _run_fwd(lp_t, mel_lens):
     F, B, W = lp_t.shape
     n_blk = F // FRAME_BLOCK
+    bb = _batch_block(B)
     ml = mel_lens.astype(jnp.int32).reshape(B, 1)
     kernel = functools.partial(_fwd_kernel, frame_block=FRAME_BLOCK)
     return pl.pallas_call(
         kernel,
-        grid=(n_blk,),
+        grid=(B // bb, n_blk),
         in_specs=[
-            pl.BlockSpec((FRAME_BLOCK, B, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((FRAME_BLOCK, bb, W), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), lambda b, i: (b, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((FRAME_BLOCK, B, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((FRAME_BLOCK, bb, W), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((FRAME_BLOCK, B, W), lambda i: (i, 0, 0),
+            pl.BlockSpec((FRAME_BLOCK, bb, W), lambda b, i: (i, b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -188,11 +203,11 @@ def _run_fwd(lp_t, mel_lens):
             jax.ShapeDtypeStruct((F, B, W), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((B, W), jnp.float32),
-            pltpu.VMEM((B, W), jnp.float32),
+            pltpu.VMEM((bb, W), jnp.float32),
+            pltpu.VMEM((bb, W), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=INTERPRET,
     )(lp_t, ml)
 
@@ -203,53 +218,67 @@ def _ctc_fwd(logprobs, text_lens, mel_lens):
     lp_t = _frame_major(logprobs.astype(jnp.float32))
     if pad:
         lp_t = jnp.pad(lp_t, ((0, pad), (0, 0), (0, 0)))
+    # pad the batch to a BATCH_BLOCK multiple (mel_len 0 = all frames
+    # invalid; the padded rows are sliced away below)
+    bpad = (-B) % _batch_block(B)
+    text_p = text_lens.astype(jnp.int32)
+    mel_p = mel_lens.astype(jnp.int32)
+    if bpad:
+        lp_t = jnp.pad(lp_t, ((0, 0), (0, bpad), (0, 0)))
+        text_p = jnp.pad(text_p, (0, bpad), constant_values=1)
+        mel_p = jnp.pad(mel_p, (0, bpad))
 
-    alphas_b, alphas_l = _run_fwd(lp_t, mel_lens)
+    alphas_b, alphas_l = _run_fwd(lp_t, mel_p)
 
     # invalid frames carry the state through, so the last row holds the
     # final states regardless of each element's mel length
-    idx = jnp.clip(text_lens.astype(jnp.int32), 1, W - 1)
+    idx = jnp.clip(text_p, 1, W - 1)
     b_last = jnp.take_along_axis(alphas_b[-1], idx[:, None], axis=1)[:, 0]
     l_last = jnp.take_along_axis(alphas_l[-1], idx[:, None] - 1, axis=1)[:, 0]
     logz = jnp.logaddexp(b_last, l_last)
-    return -logz, (lp_t, alphas_b, alphas_l, logz, text_lens, mel_lens, M)
+    return -logz[:B], (lp_t, alphas_b, alphas_l, logz, text_p, mel_p, M, B)
 
 
 def _ctc_bwd(res, g):
-    lp_t, alphas_b, alphas_l, logz, text_lens, mel_lens, M = res
+    lp_t, alphas_b, alphas_l, logz, text_p, mel_p, M, B_orig = res
     F, B, W = lp_t.shape
     n_blk = F // FRAME_BLOCK
-    ml = mel_lens.astype(jnp.int32).reshape(B, 1)
-    tl = text_lens.astype(jnp.int32).reshape(B, 1)
-    gz = jnp.stack([g.astype(jnp.float32), logz], axis=1)  # (B, 2)
+    bb = _batch_block(B)
+    ml = mel_p.reshape(B, 1)
+    tl = text_p.reshape(B, 1)
+    g_p = g.astype(jnp.float32)
+    if B != B_orig:
+        g_p = jnp.pad(g_p, (0, B - B_orig))
+    gz = jnp.stack([g_p, logz], axis=1)  # (B, 2)
 
-    rev = lambda i: (n_blk - 1 - i, 0, 0)  # noqa: E731
+    rev = lambda b, i: (n_blk - 1 - i, b, 0)  # noqa: E731
+    par = lambda b, i: (b, 0)  # noqa: E731
     kernel = functools.partial(_bwd_kernel, frame_block=FRAME_BLOCK,
                                n_blk=n_blk)
     dlp_t = pl.pallas_call(
         kernel,
-        grid=(n_blk,),
+        grid=(B // bb, n_blk),
         in_specs=[
-            pl.BlockSpec((FRAME_BLOCK, B, W), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((FRAME_BLOCK, B, W), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((FRAME_BLOCK, B, W), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((FRAME_BLOCK, bb, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((FRAME_BLOCK, bb, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((FRAME_BLOCK, bb, W), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), par, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1), par, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 2), par, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((FRAME_BLOCK, B, W), rev,
+        out_specs=pl.BlockSpec((FRAME_BLOCK, bb, W), rev,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((F, B, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((B, W), jnp.float32),
-            pltpu.VMEM((B, W), jnp.float32),
+            pltpu.VMEM((bb, W), jnp.float32),
+            pltpu.VMEM((bb, W), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=INTERPRET,
     )(lp_t, alphas_b, alphas_l, ml, tl, gz)
 
-    dlogprobs = _frame_major(dlp_t[:M])
+    dlogprobs = _frame_major(dlp_t[:M, :B_orig])
     return dlogprobs, None, None
 
 

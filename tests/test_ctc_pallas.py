@@ -100,3 +100,35 @@ def test_full_and_single_frame_lengths():
     got = cp.ordered_ctc_neg_logp_pallas(logprobs, text_lens, mel_lens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_batch_blocked_grid_with_padding():
+    """B > BATCH_BLOCK takes the batch-gridded path with a padded tail
+    (the whole-batch variant OOMed scoped VMEM at B >= 64); fwd AND grads
+    must match the scan, and padded rows must not leak into gradients."""
+    old = cp.BATCH_BLOCK
+    cp.BATCH_BLOCK = 4  # force several batch blocks + bpad (10 % 4 != 0)
+    try:
+        B, M, T = 10, 48, 16
+        logprobs, text_lens, mel_lens = _random_problem(B, M, T, seed=5)
+        ref = _ordered_ctc_neg_logp(logprobs, text_lens, mel_lens)
+        got = cp.ordered_ctc_neg_logp_pallas(logprobs, text_lens, mel_lens)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+        w = jnp.asarray(np.random.RandomState(6).randn(B).astype(np.float32))
+
+        def loss_p(lp):
+            return jnp.sum(w * cp.ordered_ctc_neg_logp_pallas(
+                lp, text_lens, mel_lens))
+
+        def loss_s(lp):
+            return jnp.sum(w * _ordered_ctc_neg_logp(lp, text_lens, mel_lens))
+
+        gp = jax.grad(loss_p)(logprobs)
+        gs = jax.grad(loss_s)(logprobs)
+        assert gp.shape == logprobs.shape
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        cp.BATCH_BLOCK = old
