@@ -79,9 +79,46 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
 
 
 def load_audio(path: str | Path, sample_rate: int | None = None) -> np.ndarray:
-    """Load -> mono float32 (N,), resampled to ``sample_rate`` if given."""
-    x, sr = read_wav(path)
-    mono = x.mean(axis=0) if x.shape[0] > 1 else x[0]
+    """Load -> mono float32 (N,), resampled to ``sample_rate`` if given.
+
+    Decode runs in the native C++ library (``isp_tts_tpu.native``) when it
+    is available — identical conversion semantics, tested equal — and falls
+    back to the stdlib reader otherwise.
+    """
+    from ..native import decode_wav_mono
+
+    try:
+        native = decode_wav_mono(path)
+    except ValueError:
+        # unsupported container/codec for the native parser — the Python
+        # reader may still cover it (soundfile handles flac/ogg/ieee-float)
+        native = None
+    if native is not None:
+        mono, sr = native
+    else:
+        x, sr = read_wav(path)
+        mono = x.mean(axis=0) if x.shape[0] > 1 else x[0]
     if sample_rate is not None and sr != sample_rate:
         mono = resample(mono, sr, sample_rate)
     return np.ascontiguousarray(mono, dtype=np.float32)
+
+
+def load_audio_batch(paths, sample_rate: int | None = None) -> list[np.ndarray]:
+    """Batch variant of :func:`load_audio`: WAV decode for the whole batch
+    runs on the native C++ thread pool (GIL-free), resampling (rare — only
+    on rate mismatch) stays per-item on scipy. Python-reader fallback keeps
+    the result identical when the native library is unavailable."""
+    from ..native import decode_wav_batch
+
+    try:
+        decoded = decode_wav_batch(paths)
+    except ValueError:
+        decoded = None  # some file the native parser can't handle
+    if decoded is None:
+        return [load_audio(p, sample_rate) for p in paths]
+    out = []
+    for mono, sr in decoded:
+        if sample_rate is not None and sr != sample_rate:
+            mono = resample(mono, sr, sample_rate)
+        out.append(np.ascontiguousarray(mono, dtype=np.float32))
+    return out

@@ -290,8 +290,10 @@ class AcousticDataset:
 
         cfg = self.config
         records = [self.meta[i] for i in indices]
-        audios = [self.audio_provider(Path(self.data_root, r.audio_path))
-                  for r in records]
+        paths = [Path(self.data_root, r.audio_path) for r in records]
+        audios = (self.audio_provider.load_batch(paths)
+                  if hasattr(self.audio_provider, "load_batch")
+                  else [self.audio_provider(p) for p in paths])
         padded, lens = bucket_audio(audios, cfg.frontend_bucket_multiple)
 
         devices = (jax.local_devices(backend="cpu")

@@ -70,6 +70,13 @@ class AudioProvider:
     def __call__(self, path: str | Path) -> np.ndarray:
         return load_audio(path, self.config.sample_rate)
 
+    def load_batch(self, paths) -> list[np.ndarray]:
+        """Batch decode on the native C++ thread pool (falls back to the
+        per-file Python reader); used by the batched dataset front-end."""
+        from .audio import load_audio_batch
+
+        return load_audio_batch(paths, self.config.sample_rate)
+
 
 @dataclass
 class SpectrogramProviderConfig:
