@@ -517,6 +517,12 @@ DEF_BLOCK_K_MQA = 768
 # f32 tiles up to 1536x768 (4.7 MB each, ~5-6 live) fit comfortably once the
 # scoped limit is raised
 _SINGLE_PASS_TILE = 1536 * 768
+# widest key axis the single-pass kernels keep resident. Covers the data
+# pipeline's ceiling (audio < 20 s -> 1,723 mel frames): training at mel
+# 1792 stays on the fused 5-matmul backward instead of falling off to the
+# streamed 7-matmul pair. Beyond this, streaming engages with the default
+# key block.
+_SINGLE_PASS_KEY_MAX = 2048
 _VMEM_LIMIT_BYTES = 96 * 1024 * 1024
 
 
@@ -1111,12 +1117,15 @@ def _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset, block_r,
     R = N * H
     # the forward holds fewer live (block_r, block_k) f32 temporaries than
     # the backward, so it can afford a wider key block: prefer a single key
-    # pass up to 1024 (serving decodes at max_dec_len 1024; streaming there
-    # cost ~40% per-call) and narrow the row block to stay inside VMEM.
-    # Only the DEFAULT block is widened — an explicit smaller block_k (tests
-    # forcing the streamed online-softmax path) is honored as given
+    # pass whenever the whole key axis fits (<= _SINGLE_PASS_KEY_MAX;
+    # serving decodes at max_dec_len 1024 — streaming there cost ~40%
+    # per-call — and mel-1792 training stays fused) and narrow the row
+    # block to stay inside VMEM. Only the DEFAULT block is widened — an
+    # explicit smaller block_k (tests forcing the streamed online-softmax
+    # path) is honored as given
     if block_k == DEF_BLOCK_K_MQA:
-        block_k = _pick_block(M, max(block_k, 1024))
+        cap = _SINGLE_PASS_KEY_MAX if M <= _SINGLE_PASS_KEY_MAX else 1024
+        block_k = _pick_block(M, max(block_k, cap))
     else:
         block_k = _pick_block(M, block_k)
     # (widening the forward row block to 1536 was tried and measured NEUTRAL
@@ -1184,13 +1193,18 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, causal, dropout_rate,
     B, N, H, D = q.shape
     M = k.shape[1]
     R = N * H
-    block_k = _pick_block(M, block_k)
+    if block_k == DEF_BLOCK_K_MQA and M <= _SINGLE_PASS_KEY_MAX:
+        # whole key axis fits resident: widen the key block so the fused
+        # 5-matmul kernel below engages (same policy as the forward)
+        block_k = _pick_block(M, max(block_k, _SINGLE_PASS_KEY_MAX))
+    else:
+        block_k = _pick_block(M, block_k)
     if -(-M // block_k) == 1 and block_r == DEF_BLOCK_R:
-        # fused single-pass backward: widen the row block (same rationale
-        # as the forward — fewer programs, larger MXU tiles; VMEM fits
-        # under the raised per-kernel limit)
+        # fused single-pass backward: size the row block to the VMEM tile
+        # budget (fewer programs, larger MXU tiles; at block_k 768 this is
+        # the 1536-row block, at the 2048 ceiling it narrows to 576->512)
         block_r = _pick_block(
-            R, max(block_r, _SINGLE_PASS_TILE // block_k // 128 * 128))
+            R, max(128, _SINGLE_PASS_TILE // block_k // 128 * 128))
     else:
         block_r = _pick_block(R, block_r)
 

@@ -401,6 +401,49 @@ def test_flash_mqa_probability_dropout_interpret(m, block_k):
         assert rel < 1e-3, f"{name} rel err {rel}"
 
 
+def test_flash_mqa_wide_single_pass_interpret():
+    """Key axes in (1024, 2048] stay on the single-pass kernels (whole key
+    axis resident; the fused 5-matmul backward) instead of streaming —
+    the mel-1792 training regime. Checks the dispatch picks n_k == 1 and
+    that outputs + all grads match the oracle with ragged key lengths."""
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode check is the CPU-side variant")
+    rng = np.random.RandomState(6)
+    B, H, N, D = 1, 2, 1792, 16  # M = 1792: beyond the old 1024 cap
+    q = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, N, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl * 0.5])
+    key_lens = jnp.asarray([N - 139], jnp.int32)
+    scale = D ** -0.5
+
+    # the dispatch must keep the whole 1792-frame key axis in one block
+    assert fa._pick_block(N, max(fa.DEF_BLOCK_K_MQA,
+                                 fa._SINGLE_PASS_KEY_MAX)) == N
+
+    fa.INTERPRET = True
+    try:
+        out_f = fa.flash_attention_mqa(q, k, v, slopes2, key_lens, scale)
+        grads = jax.grad(lambda q, k, v, s: jnp.sum(
+            fa.flash_attention_mqa(q, k, v, s, key_lens, scale) ** 2),
+            argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    finally:
+        fa.INTERPRET = False
+    out_r = _ref_attn_mqa(q, k, v, slopes2, key_lens, scale)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r),
+                               atol=2e-5)
+    gr = jax.grad(lambda q, k, v, s: jnp.sum(
+        _ref_attn_mqa(q, k, v, s, key_lens, scale) ** 2),
+        argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    for name, a, b in zip(("dq", "dk", "dv", "dslopes"), grads, gr):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 1e-3, f"{name} rel err {rel}"
+
+
 def test_flash_mqa_single_pass_zero_key_len():
     """Single-pass forward (n_k == 1) with a key_len == 0 batch element:
     all logits are NEG_INF so the plain softmax would produce the column-mean
