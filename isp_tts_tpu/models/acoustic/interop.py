@@ -98,3 +98,95 @@ def _fix_norm_nesting(name: str) -> str:
     if m:
         return f"{m.group(1)}.norm.{m.group(2)}"
     return name
+
+
+# ---------------------------------------------------------------------------
+# Export: our state -> reference torch names/layouts (the exact inverse of
+# convert_torch_state, so reference users can move checkpoints BOTH ways).
+# The reference's from_pretrained (base.py:38-56) fills any key we don't
+# ship — non-persistent buffers like attend masks — from the fresh-init
+# model before its strict load, so exporting parameters (+ the pitch stat
+# and freq_scale buffers we do carry) is a complete checkpoint.
+# ---------------------------------------------------------------------------
+
+# ours -> torch substring rewrites (inverse of _NAME_RULES, applied in order)
+_EXPORT_NAME_RULES: list[tuple[str, str]] = [
+    (r"^aligner\.", "aligner.attention."),
+    (r"\.feed_forward\.fc1\.", ".feed_forward.net.0."),
+    (r"\.feed_forward\.fc2\.", ".feed_forward.net.3."),
+    (r"\.rel_pos\.log_slopes$", ".rel_pos.learned_logslopes"),
+    (r"\.linear\.", ".linear_layer."),
+    (r"\.time_embedding\.fc1\.", ".time_embedding.mlp.0."),
+    (r"\.time_embedding\.fc2\.", ".time_embedding.mlp.2."),
+]
+
+
+def export_torch_state(state: dict[str, np.ndarray],
+                       freq_scale: float | None = 1000.0) -> dict[str, np.ndarray]:
+    """{our dotted name: array} -> {reference torch name: array}.
+
+    Inverse of :func:`convert_torch_state`: undoes the kernel/scale/embedding
+    leaf renames, re-transposes Linear/Conv kernels into torch layout,
+    re-nests the AdaLN Linears, and restores the reference module names.
+    ``freq_scale`` synthesizes the flow time embedding's persistent buffer
+    (reference embeddings.py:98, default 1000) when the predictor is present.
+    """
+    out: dict[str, np.ndarray] = {}
+    has_predictor_temb = False
+    for name, value in state.items():
+        value = np.asarray(value)
+        # 1) plain-LayerNorm wrapper un-nesting: X_norm.norm.scale -> X_norm.weight
+        m = re.match(r"^(.*(?:attention_norm|feed_forward_norm))\.norm\.(scale|bias)$",
+                     name)
+        if m:
+            name = f"{m.group(1)}.{'weight' if m.group(2) == 'scale' else 'bias'}"
+        elif re.search(r"_norm\.(weight|bias)\.(kernel|bias)$", name):
+            # 2) AdaLN Linears literally named weight/bias
+            if name.endswith(".kernel"):
+                name = name[: -len(".kernel")] + ".weight"
+                value = value.T
+        elif name.endswith(".kernel"):
+            base = name[: -len(".kernel")]
+            name = base + ".weight"
+            if value.ndim == 3:   # Conv (k, in, out) -> torch (out, in, k)
+                value = value.transpose(2, 1, 0)
+            elif value.ndim == 2:  # Linear (in, out) -> torch (out, in)
+                value = value.T
+        elif name.endswith(".scale") and value.ndim == 1:
+            name = name[: -len(".scale")] + ".weight"
+        elif name.endswith(".embedding"):
+            name = name[: -len(".embedding")] + ".weight"
+
+        for pattern, repl in _EXPORT_NAME_RULES:
+            name = re.sub(pattern, repl, name)
+        if ".predictor.time_embedding." in name:
+            has_predictor_temb = True
+        out[name] = value
+
+    if freq_scale is not None and has_predictor_temb:
+        out["temporal_adaptor.predictor.time_embedding.freq_emb.freq_scale"] = \
+            np.asarray([freq_scale], dtype=np.float32)
+    return out
+
+
+# the reference Act enum (layers.py:10-31) has a single exact-erf "gelu";
+# both our flavors map onto it (our default tanh approximation differs by
+# <3e-3 absolute — the round-1 parity study; exact users train with
+# activation="gelu_exact" and export losslessly)
+_TORCH_ACTIVATIONS = {"gelu_exact": "gelu", "gelu": "gelu"}
+
+
+def export_torch_config(config: dict) -> dict:
+    """Model config dict in the reference's schema (they match by
+    construction — test_reference_parity drives both sides from one dict);
+    only the GELU flavor names differ."""
+
+    def fix(node):
+        if isinstance(node, dict):
+            return {k: (_TORCH_ACTIVATIONS.get(v, v) if k == "activation" else fix(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [fix(v) for v in node]
+        return node
+
+    return fix(config)

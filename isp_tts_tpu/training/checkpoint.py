@@ -86,3 +86,26 @@ def _plain(obj: Any) -> Any:
     if isinstance(obj, (list, tuple)):
         return [_plain(v) for v in obj]
     return obj
+
+
+def save_torch_checkpoint(model, path: str | Path) -> None:
+    """Write this model as a REFERENCE-format torch ``.pt`` checkpoint
+    (`base.py:38-56` container: ``{"model": {"config", "state_dict"}}``),
+    loadable by the reference's ``AcousticModel.from_pretrained`` — the
+    inverse of :func:`load_torch_checkpoint`, so users can move checkpoints
+    in both directions (train here, serve there, or vice versa)."""
+    import torch
+
+    from ..config.registry import config_to_dict
+    from ..models.acoustic.interop import export_torch_config, export_torch_state
+
+    temb = getattr(getattr(getattr(model, "temporal_adaptor", None),
+                           "predictor", None), "time_embedding", None)
+    freq_scale = float(temb.freq_scale) if temb is not None else None
+    tstate = export_torch_state(model.state_dict(), freq_scale)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in tstate.items()}
+    config = export_torch_config(config_to_dict(model.config))
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save({"model": {"config": config, "state_dict": tensors}}, str(path))
