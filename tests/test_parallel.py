@@ -106,6 +106,67 @@ def test_tp_training_step_matches_replicated():
     np.testing.assert_allclose(loss_dp, loss_tp, rtol=1e-4)
 
 
+def test_gan_step_data_parallel_matches_single_device():
+    """The vocoder GAN's alternating D/G update (the bonus model family)
+    must run data-parallel over the mesh with the same result as an
+    unsharded step — same shard_batch/shard_params machinery the acoustic
+    trainer uses (§2.9 evidence for the GAN family)."""
+    from test_neural_vocoder import TINY_FEATURES, TINY_MODEL
+
+    from isp_tts_tpu.config.registry import build_config
+    from isp_tts_tpu.models.vocoder import VocoderModel, VocoderModelConfig
+    from isp_tts_tpu.models.vocoder.loss import VocoderGANLoss
+
+    criterion = VocoderGANLoss(**dict(TINY_FEATURES))
+    tx = optax.adamw(1e-3)
+    rng = np.random.RandomState(0)
+    audio_np = (rng.randn(8, 1024) * 0.2).astype(np.float32)
+
+    def run(mesh):
+        model = VocoderModel(build_config(VocoderModelConfig, dict(TINY_MODEL)),
+                             rngs=nnx.Rngs(0))
+        nnx.update(model, shard_params(nnx.state(model), mesh))
+        opt_state = {
+            "gen": shard_params(tx.init(nnx.state(model.generator, nnx.Param)), mesh),
+            "disc": shard_params(tx.init(nnx.state(model.discriminator, nnx.Param)), mesh),
+        }
+        audio = shard_batch({"audio": audio_np}, mesh)["audio"]
+
+        @nnx.jit
+        def step(model, opt_state, audio):
+            mel = jax.lax.stop_gradient(model.features(audio))
+            fake = jax.lax.stop_gradient(model.generator(mel))
+
+            def d_loss_fn(d):
+                loss, _ = criterion.disc_loss(d, audio, fake)
+                return loss.astype(jnp.float32)
+
+            d_loss, d_grads = nnx.value_and_grad(d_loss_fn)(model.discriminator)
+            d_params = nnx.state(model.discriminator, nnx.Param)
+            d_updates, d_state = tx.update(d_grads, opt_state["disc"], d_params)
+            nnx.update(model.discriminator,
+                       optax.apply_updates(d_params, d_updates))
+
+            def g_loss_fn(g):
+                loss, _ = criterion.gen_loss(model.discriminator, audio,
+                                             g(mel), mel)
+                return loss.astype(jnp.float32)
+
+            g_loss, g_grads = nnx.value_and_grad(g_loss_fn)(model.generator)
+            g_params = nnx.state(model.generator, nnx.Param)
+            g_updates, g_state = tx.update(g_grads, opt_state["gen"], g_params)
+            nnx.update(model.generator, optax.apply_updates(g_params, g_updates))
+            return {"gen": g_state, "disc": d_state}, d_loss, g_loss
+
+        _, d_loss, g_loss = step(model, opt_state, audio)
+        gen_norm = optax.global_norm(nnx.state(model.generator, nnx.Param))
+        return float(d_loss), float(g_loss), float(gen_norm)
+
+    single = run(make_mesh(data=1, model=1, devices=jax.devices()[:1]))
+    dp = run(make_mesh(data=-1, model=1))
+    np.testing.assert_allclose(single, dp, rtol=2e-5)
+
+
 def test_barrier_and_gather_single_process():
     """barrier is a no-op single-process; gather_to_host returns host numpy."""
     import jax.numpy as jnp
