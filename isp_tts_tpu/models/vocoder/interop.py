@@ -139,6 +139,88 @@ def infer_generator_config(flat: dict[str, np.ndarray], hop_length: int) -> dict
     }
 
 
+# inverse substring rewrites for export (our names -> official vocos)
+_EXPORT_NAME_RULES: list[tuple[str, str]] = [
+    (r"^generator\.embed\.", "backbone.embed."),
+    (r"^generator\.norm_pre\.", "backbone.norm."),
+    (r"^generator\.blocks\.(\d+)\.", r"backbone.convnext.\1."),
+    (r"^generator\.norm_post\.", "backbone.final_layer_norm."),
+    (r"^generator\.head\.", "head.out."),
+]
+
+
+def export_vocos_state(state: dict) -> dict[str, np.ndarray]:
+    """{our dotted name: array} -> {official vocos name: np.float32}.
+
+    Inverse of :func:`convert_vocos_state`: restores the official parameter
+    names and torch layouts (Conv1d ``(out, in, k)``, Linear ``(out, in)``,
+    LayerNorm ``weight``) so a generator trained here loads into any torch
+    Vocos implementation — including the reference's serving stack built
+    around ``vocos_ms_fp16.pts`` (`/root/reference/notebooks/inference.ipynb`
+    cells 6-7). Discriminator/feature tensors have no counterpart in the
+    official generator checkpoints and are skipped.
+    """
+    out: dict[str, np.ndarray] = {}
+    for name, value in state.items():
+        new = None
+        for pattern, repl in _EXPORT_NAME_RULES:
+            new2 = re.sub(pattern, repl, name)
+            if new2 != name:
+                new = new2
+                break
+        if new is None:
+            continue  # discriminator.* etc.: not part of a vocos checkpoint
+        value = np.asarray(_to_numpy(value), dtype=np.float32)
+        if new.endswith(".kernel"):
+            base = new[: -len(".kernel")]
+            if value.ndim == 3:  # Conv1d (k, in, out) -> torch (out, in, k)
+                new, value = base + ".weight", value.transpose(2, 1, 0)
+            else:  # Linear (in, out) -> torch (out, in)
+                new, value = base + ".weight", value.T
+        elif new.endswith(".scale"):  # LayerNorm scale -> weight
+            new = new[: -len(".scale")] + ".weight"
+        out[new] = value
+    return out
+
+
+def save_torch_vocoder(model, path: str | Path, fp16: bool = False) -> None:
+    """Write this :class:`VocoderModel`'s generator as a torch Vocos state
+    dict (official ``charactr/vocos`` parameter layout) so reference users
+    can serve a TPU-trained vocoder from their existing torch stack — the
+    inverse of :func:`load_torch_vocoder`. ``fp16`` halves the tensors the
+    way the reference's own ``vocos_ms_fp16.pts`` artifact does.
+
+    Warns when the generator's activation/clip semantics deviate from the
+    official torch implementation (erf GELU, upper-only magnitude clip at
+    1e2): the weights still load, but a torch server will run the official
+    math, not ours.
+    """
+    import torch
+
+    gen_cfg = model.generator.config
+    if gen_cfg.gelu == "tanh":
+        logger.warning(
+            "save_torch_vocoder: generator uses tanh GELU; official torch "
+            "Vocos applies exact-erf GELU to these weights")
+    if gen_cfg.min_log_mag is not None or not np.isclose(
+            gen_cfg.max_log_mag, np.log(100.0)):
+        logger.warning(
+            "save_torch_vocoder: generator clips log-magnitude to [%s, %s]; "
+            "official torch Vocos clips only from above at log(100)",
+            gen_cfg.min_log_mag, gen_cfg.max_log_mag)
+    flat = export_vocos_state(model.state_dict())
+    # np.array(copy=True): torch.from_numpy rejects read-only views and
+    # transpose() above yields non-contiguous ones.
+    tensors = {k: torch.from_numpy(np.array(v)) for k, v in flat.items()}
+    if fp16:
+        tensors = {k: v.half() for k, v in tensors.items()}
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    torch.save(tensors, str(path))
+    logger.info("saved torch Vocos state dict to %s (%d tensors%s)",
+                path, len(tensors), ", fp16" if fp16 else "")
+
+
 def load_torch_vocoder(path: str | Path, hop_length: int = 256,
                        sample_rate: int = 22050,
                        f_min: float = 0.0, f_max: float | None = 8000.0,

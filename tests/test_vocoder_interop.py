@@ -16,7 +16,8 @@ torch = pytest.importorskip("torch")
 from torch import nn  # noqa: E402
 
 from isp_tts_tpu.models.vocoder.interop import (  # noqa: E402
-    convert_vocos_state, infer_generator_config, load_torch_vocoder)
+    convert_vocos_state, export_vocos_state, infer_generator_config,
+    load_torch_vocoder, save_torch_vocoder)
 
 N_MELS, DIM, INTER, LAYERS, N_FFT, HOP = 6, 12, 20, 2, 16, 4
 
@@ -164,6 +165,76 @@ def test_fp16_weights(torch_model, mel, tmp_path):
         want = torch_model(torch.from_numpy(mel)).numpy()
     got = np.asarray(model.infer(np.transpose(mel, (0, 2, 1))))
     np.testing.assert_allclose(got, want, atol=5e-2, rtol=0)
+
+
+@pytest.fixture(scope="module")
+def our_model():
+    """A VocoderModel built with the official torch semantics (exact GELU,
+    upper-only magnitude clip) at the tiny test dims."""
+    from flax import nnx
+
+    from isp_tts_tpu.config.registry import build_config
+    from isp_tts_tpu.models.vocoder.model import VocoderModel, VocoderModelConfig
+
+    config = build_config(VocoderModelConfig, {
+        "generator": {
+            "n_mels": N_MELS, "dim": DIM, "intermediate_dim": INTER,
+            "num_layers": LAYERS, "n_fft": N_FFT, "hop_length": HOP,
+            "gelu": "exact", "max_log_mag": float(np.log(100.0)),
+            "min_log_mag": None,
+        },
+        "features": {
+            "sample_rate": 160, "n_fft": N_FFT, "hop_length": HOP,
+            "win_length": N_FFT, "n_mels": N_MELS, "f_min": 0.0, "f_max": 80.0,
+        },
+    })
+    return VocoderModel(config, rngs=nnx.Rngs(11))
+
+
+def test_export_roundtrip_identity(our_model):
+    """export -> convert is an identity on every generator tensor."""
+    state = our_model.state_dict()
+    gen = {k: v for k, v in state.items() if k.startswith("generator.")}
+    back = convert_vocos_state(export_vocos_state(state))
+    assert set(back) == set(gen)
+    for key, want in gen.items():
+        np.testing.assert_array_equal(back[key], np.asarray(want), err_msg=key)
+
+
+def test_export_loads_into_torch_vocos(our_model, mel, tmp_path):
+    """save_torch_vocoder -> strict torch load -> identical waveform: a
+    generator trained here serves from the reference's torch stack."""
+    path = tmp_path / "exported_vocos.bin"
+    save_torch_vocoder(our_model, path)
+
+    torch_model = TorchVocos()
+    missing, unexpected = torch_model.load_state_dict(
+        torch.load(path, weights_only=True), strict=True)
+    assert not missing and not unexpected
+    torch_model.eval()
+
+    our_model.eval()
+    got = np.asarray(our_model.infer(np.transpose(mel, (0, 2, 1))))
+    with torch.inference_mode():
+        want = torch_model(torch.from_numpy(mel)).numpy()
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=0)
+
+
+def test_export_fp16_reimports(our_model, tmp_path):
+    """fp16 export (the reference artifact's precision) reloads through
+    load_torch_vocoder with half-precision tolerance."""
+    path = tmp_path / "exported_fp16.bin"
+    save_torch_vocoder(our_model, path, fp16=True)
+    blob = torch.load(path, weights_only=True)
+    assert all(v.dtype == torch.float16 for v in blob.values())
+    model = load_torch_vocoder(path, hop_length=HOP)
+    ours = {k: np.asarray(v) for k, v in our_model.state_dict().items()
+            if k.startswith("generator.")}
+    theirs = model.state_dict()
+    for key, want in ours.items():
+        np.testing.assert_allclose(
+            np.asarray(theirs[key]), want, atol=1e-3, rtol=1e-3, err_msg=key)
 
 
 def test_unrecognized_checkpoint_raises(tmp_path):
