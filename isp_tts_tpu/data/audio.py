@@ -8,10 +8,13 @@ mono. PCM 16/24/32-bit and float32 WAVs supported; other formats raise. If
 
 from __future__ import annotations
 
+import logging
 import wave
 from pathlib import Path
 
 import numpy as np
+
+logger = logging.getLogger("isp_tts_tpu")
 
 
 def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
@@ -112,8 +115,12 @@ def load_audio_batch(paths, sample_rate: int | None = None) -> list[np.ndarray]:
 
     try:
         decoded = decode_wav_batch(paths)
-    except ValueError:
-        decoded = None  # some file the native parser can't handle
+    except ValueError as e:
+        # some file the native parser can't handle — surface WHICH before
+        # the per-file fallback (whose own error, if any, names only the
+        # Python reader's complaint)
+        logger.warning("native batch decode failed (%s); retrying per-file", e)
+        decoded = None
     if decoded is None:
         return [load_audio(p, sample_rate) for p in paths]
     out = []

@@ -52,6 +52,10 @@ class AcousticModelConfig:
     num_speakers: int | None = 0
     pitch_mean: float | None = None
     pitch_std: float | None = None
+    #: mel/audio geometry injected from the dataset (sample_rate, n_fft,
+    #: hop_length, win_length, f_min, f_max) — makes checkpoints
+    #: self-describing for serving-time waveform inversion
+    audio_config: dict | None = None
 
 
 class AcousticModel(Model):
@@ -249,4 +253,17 @@ class AcousticModel(Model):
         if getattr(dataset, "stats", None) is not None:
             config["pitch_mean"] = float(dataset.stats.pitch.mean)
             config["pitch_std"] = float(dataset.stats.pitch.std)
+        spec = getattr(dataset, "spec_provider", None)
+        mel = getattr(dataset, "mel_scale_provider", None)
+        audio = getattr(dataset, "audio_provider", None)
+        if spec is not None and mel is not None and audio is not None:
+            config["audio_config"] = {
+                "sample_rate": int(audio.config.sample_rate),
+                "n_fft": int(spec.config.n_fft),
+                "hop_length": int(spec.config.hop_length),
+                "win_length": int(spec.config.win_length),
+                "f_min": float(mel.config.f_min),
+                "f_max": None if mel.config.f_max is None
+                else float(mel.config.f_max),
+            }
         return config

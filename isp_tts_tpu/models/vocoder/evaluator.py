@@ -31,8 +31,13 @@ def multires_stft_distance(fake: jnp.ndarray, real: jnp.ndarray):
         rr, ri = _stft_matmul(real, n_fft, hop, n_fft, pad)
         mag_f = jnp.sqrt(fr * fr + fi * fi + 1e-9)
         mag_r = jnp.sqrt(rr * rr + ri * ri + 1e-9)
-        sc_total += (jnp.linalg.norm(mag_r - mag_f)
-                     / jnp.maximum(jnp.linalg.norm(mag_r), 1e-6))
+        # per-utterance Frobenius ratio, then batch mean (the standard
+        # UnivNet/PWG definition) — a global norm would let one loud sample
+        # drown out regressions on the quiet ones
+        axes = tuple(range(1, mag_r.ndim))
+        num = jnp.sqrt(jnp.sum((mag_r - mag_f) ** 2, axis=axes))
+        den = jnp.sqrt(jnp.sum(mag_r ** 2, axis=axes))
+        sc_total += jnp.mean(num / jnp.maximum(den, 1e-6))
         mag_total += jnp.mean(jnp.abs(jnp.log(mag_f) - jnp.log(mag_r)))
     n = float(len(_RESOLUTIONS))
     return sc_total / n, mag_total / n

@@ -20,10 +20,15 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+import logging
+
 from ..ops.attention import scaled_dot_product_attention
 from .embeddings import LearnedALiBiBias
 from .layers import FastDropout
 from .policy import get_compute_dtype
+
+logger = logging.getLogger("isp_tts_tpu")
+_warned_flash_dropout = False
 
 
 @dataclass
@@ -154,7 +159,17 @@ class Attention(nnx.Module):
         if use_flash == "on" and drop_active and not self.one_kv_head:
             # only the folded-MQA kernels implement in-kernel probability
             # dropout; the per-head-grid family falls back to the einsum path
-            # for dropout-active training steps
+            # for dropout-active training steps (numerics equivalent, but
+            # materialized (B,H,N,M) memory/time — not the kernel the
+            # explicit 'on' asked for, so say so once)
+            global _warned_flash_dropout
+            if not _warned_flash_dropout:
+                _warned_flash_dropout = True
+                logger.warning(
+                    "flash='on' with attention dropout on a multi-KV-head "
+                    "layer: training steps fall back to the materialized "
+                    "einsum path (in-kernel probability dropout exists only "
+                    "for one_kv_head); eval still uses the fused kernel")
             use_flash = "off"
         if use_flash == "on" and attention_mask is not None:
             # the fused kernels support key-length + query-length + causal

@@ -69,13 +69,16 @@ class Synthesizer:
         # reference's external-TorchScript step (inference.ipynb cell 7)
         # becomes one more bucketed on-device executable
         self.vocoder = vocoder
-        self._voc_compiled: dict[tuple, callable] = {}
         if vocoder is not None:
             vocoder.eval()
-            self._voc_graphdef, self._voc_state = nnx.split(vocoder)
+            voc_graphdef, self._voc_state = nnx.split(vocoder)
             if self.config.weights_dtype is not None:
                 self._voc_state = cast_float_state(
                     self._voc_state, self.config.weights_dtype)
+            # one jitted entry point; jax.jit's own cache specializes per
+            # (frames, batch) shape
+            self._vocode = jax.jit(
+                lambda state, mel: nnx.merge(voc_graphdef, state).infer(mel))
 
         from .data.providers import TextProvider, TextProviderConfig
         from .data.text.table import CodingTable
@@ -175,16 +178,19 @@ class Synthesizer:
         contract)."""
         mel, dec_lens = self._synthesize_mel(
             text, seed, duration_factor, pitch_factor, pitch_delta)
-        B, frames, _ = mel.shape
+        B = mel.shape[0]
         if self.vocoder is not None:
             hop = self.vocoder.features_config.hop_length
-            audio = np.asarray(self._vocoder_executable(frames, B)(
-                self._voc_state, jnp.asarray(mel)))
+            audio = np.asarray(self._vocode(self._voc_state, jnp.asarray(mel)))
         else:
             from .ops.vocoder import mel_to_audio_tpu
 
-            hop = 256
-            audio = np.asarray(mel_to_audio_tpu(jnp.asarray(mel)))
+            geo = self._audio_geometry()
+            hop = geo["hop_length"]
+            audio = np.asarray(mel_to_audio_tpu(
+                jnp.asarray(mel), geo["sample_rate"], geo["n_fft"],
+                geo["hop_length"], geo["win_length"], geo["f_min"],
+                geo["f_max"]))
         audio = np.clip(audio, -1.0, 1.0)
         return [audio[i, : int(dec_lens[i]) * hop] for i in range(B)]
 
@@ -203,7 +209,8 @@ class Synthesizer:
             raise ValueError("empty text")
         wavs = self.synthesize_audio(parts, seed=seed, **controls)
         sr = (self.vocoder.features_config.sample_rate
-              if self.vocoder is not None else 22050)
+              if self.vocoder is not None
+              else self._audio_geometry()["sample_rate"])
         pause = np.zeros(int(pause_s * sr), np.float32)
         pieces: list[np.ndarray] = []
         for i, w in enumerate(wavs):
@@ -212,18 +219,22 @@ class Synthesizer:
                 pieces.append(pause)
         return np.concatenate(pieces)
 
-    def _vocoder_executable(self, frames: int, batch: int):
-        key = (frames, batch)
-        fn = self._voc_compiled.get(key)
-        if fn is None:
-            graphdef = self._voc_graphdef
-
-            @jax.jit
-            def vocode(state, mel):
-                return nnx.merge(graphdef, state).infer(mel)
-
-            self._voc_compiled[key] = fn = vocode
-        return fn
+    def _audio_geometry(self) -> dict:
+        """The checkpoint's mel/audio contract for Griffin-Lim inversion,
+        from the self-describing ``audio_config`` injected at train time
+        (inject_data_config); checkpoints predating it fall back to the
+        framework defaults with a warning (wrong geometry garbles audio)."""
+        geo = getattr(self.model.config, "audio_config", None)
+        if geo:
+            return dict(geo)
+        if not getattr(self, "_warned_default_geometry", False):
+            self._warned_default_geometry = True
+            logger.warning(
+                "checkpoint carries no audio_config; assuming the default "
+                "mel contract (22.05 kHz, n_fft 1024, hop 256) for "
+                "Griffin-Lim — retrain/resave to embed the real geometry")
+        return {"sample_rate": 22050, "n_fft": 1024, "hop_length": 256,
+                "win_length": 1024, "f_min": 0.0, "f_max": 8000.0}
 
     def _synthesize_mel(self, text: str | list[str], seed: int = 0,
                         duration_factor: float = 1.0, pitch_factor: float = 1.0,
@@ -262,7 +273,10 @@ class Synthesizer:
             # durations at the bucket (documented clamp in the adaptor): a
             # slow-speaking checkpoint would silently lose tail frames.
             # Detect and rerun at the next budget; saturation of the largest
-            # bucket is surfaced, not swallowed.
+            # bucket is surfaced, not swallowed. An utterance legitimately
+            # needing EXACTLY the budget is indistinguishable from a clamped
+            # one at this layer, so it costs one conservative rerun (at the
+            # larger budget its true dec_len < fb settles the ambiguity).
             saturated = bool((dec_lens >= fb).any())
             if not saturated or fb >= budgets[-1]:
                 if saturated:

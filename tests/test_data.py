@@ -83,6 +83,20 @@ def test_wav_roundtrip(tmp_path):
     np.testing.assert_allclose(x, y, atol=2e-4)
 
 
+def test_inject_data_config_embeds_audio_geometry(toy_dataset):
+    """Checkpoints are self-describing for waveform inversion: the mel/audio
+    geometry (sample rate, STFT frame, mel band edges) rides along in the
+    model config so serving never has to guess it."""
+    from isp_tts_tpu.models.acoustic.model import AcousticModel
+
+    ds = _dataset(toy_dataset)
+    cfg = AcousticModel.inject_data_config({}, ds)
+    assert cfg["audio_config"] == {
+        "sample_rate": SR, "n_fft": 1024, "hop_length": 256,
+        "win_length": 1024, "f_min": 0.0, "f_max": 8000.0,
+    }
+
+
 def test_dataset_sample(toy_dataset):
     ds = _dataset(toy_dataset)
     assert len(ds) == 6

@@ -178,6 +178,43 @@ def test_synthesize_long_stitches_sentences(synthesizer):
         synthesizer.synthesize_long("   ")
 
 
+def test_audio_geometry_fallback_warns(synthesizer, caplog):
+    """A checkpoint with no embedded audio_config falls back to the default
+    mel contract — loudly, since wrong geometry garbles Griffin-Lim audio."""
+    import logging
+
+    synthesizer._warned_default_geometry = False
+    with caplog.at_level(logging.WARNING, logger="isp_tts_tpu"):
+        geo = synthesizer._audio_geometry()
+    assert geo == {"sample_rate": 22050, "n_fft": 1024, "hop_length": 256,
+                   "win_length": 1024, "f_min": 0.0, "f_max": 8000.0}
+    assert any("audio_config" in r.message for r in caplog.records)
+
+
+def test_audio_geometry_from_self_describing_checkpoint():
+    """inject_data_config's audio_config drives Griffin-Lim inversion: the
+    waveform trim uses the checkpoint's own hop, not the 22.05 kHz default."""
+    from isp_tts_tpu.data.text.table import CodingTable
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    geo = {"sample_rate": 16000, "n_fft": 512, "hop_length": 128,
+           "win_length": 512, "f_min": 0.0, "f_max": 7600.0}
+    cfg_dict = dict(TINY, encoding_map=dict(ct.encoding_map),
+                    audio_config=dict(geo))
+    model = AcousticModel(build_config(AcousticModelConfig, cfg_dict),
+                          rngs=nnx.Rngs(0))
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=4.0,
+        steps=1, charset=tuple(charset)))
+    assert synth._audio_geometry() == geo
+
+    mels = synth("hi there.")
+    wavs = synth.synthesize_audio("hi there.")
+    assert len(wavs[0]) == mels[0].shape[0] * geo["hop_length"]
+    assert np.isfinite(wavs[0]).all()
+
+
 def test_synthesizer_bf16_weights_close_to_f32():
     """weights_dtype='bf16' halves serving HBM traffic; outputs must stay
     close to the f32-weight path (same tokens, same seed)."""
