@@ -249,9 +249,18 @@ def load_torch_vocoder(path: str | Path, hop_length: int = 256,
         module = torch.jit.load(str(p), map_location="cpu")
         state = dict(module.state_dict())
     except Exception:
-        obj = torch.load(str(p), map_location="cpu", weights_only=False)
-        if hasattr(obj, "state_dict"):
-            obj = obj.state_dict()
+        # weights_only=True covers every supported non-TorchScript format
+        # (plain state dicts, {"state_dict": ...} wrappers). Never fall back
+        # to a full unpickle: that executes arbitrary code from a
+        # user-supplied file for a case (pickled nn.Module) we don't support
+        # anyway.
+        try:
+            obj = torch.load(str(p), map_location="cpu", weights_only=True)
+        except Exception as e:
+            raise ValueError(
+                f"{p}: neither TorchScript nor a plain tensor state dict "
+                f"({e}). Pickled torch modules are not loaded (arbitrary "
+                f"code execution); save the module's .state_dict() instead.")
         if isinstance(obj, dict) and "state_dict" in obj:
             obj = obj["state_dict"]
         if not isinstance(obj, dict):

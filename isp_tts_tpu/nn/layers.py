@@ -62,7 +62,9 @@ def _keep_mask(key, rate, shape):
     quantizes to round((1-rate)*256)/256 — e.g. rate 0.1 keeps with p=0.8984
     instead of 0.9 — an imperceptible shift of a REGULARIZATION knob, not a
     numerics contract (eval/parity paths never run dropout)."""
-    thresh = int(round((1.0 - rate) * 256.0))
+    from ..ops.flash_attention import dropout_thresh
+
+    thresh = dropout_thresh(rate)
     if thresh >= 256:  # rate < 1/512 rounds to keep-everything, not drop-1/256
         return jnp.ones(shape, bool)
     bits = jax.random.bits(key, shape, jnp.uint8)

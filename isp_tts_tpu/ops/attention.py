@@ -86,7 +86,12 @@ def scaled_dot_product_attention(
     probs = (unnorm / jnp.maximum(denom, 1e-30)).astype(dtype)
 
     if dropout_rate > 0.0 and dropout_key is not None:
-        thresh = int(round((1.0 - dropout_rate) * 256.0))
+        # the SAME 8-bit keep quantization as the in-kernel path — imported,
+        # not re-derived, so the flash and einsum routes (which nn.attention
+        # switches between per layer/config) can never drift apart
+        from .flash_attention import dropout_thresh
+
+        thresh = dropout_thresh(dropout_rate)
         if thresh < 256:
             bits = jax.random.bits(dropout_key, probs.shape, jnp.uint8)
             probs = jnp.where(

@@ -524,14 +524,53 @@ _SINGLE_PASS_TILE = 1536 * 768
 # key block.
 _SINGLE_PASS_KEY_MAX = 2048
 _VMEM_LIMIT_BYTES = 96 * 1024 * 1024
+_WIDE_VMEM: bool | None = None
+
+
+def _wide_vmem() -> bool:
+    """Whether the device's VMEM fits the wide single-pass tiles.
+
+    The widened tiles + the raised 96 MiB scoped limit assume the 128 MiB
+    VMEM of v4+ cores (v5e measured); v2/v3 cores have 16 MiB, where only
+    the streamed defaults fit — on those, widening must stay off or Mosaic
+    rejects the allocation for shapes the streamed path handles fine.
+    Resolved lazily (first kernel call) so importing this module never
+    initializes the JAX backend; `ISP_TTS_TPU_WIDE_VMEM=0/1` overrides."""
+    global _WIDE_VMEM
+    if _WIDE_VMEM is None:
+        import os
+        import re
+
+        env = os.environ.get("ISP_TTS_TPU_WIDE_VMEM")
+        if env is not None:
+            _WIDE_VMEM = env.strip().lower() not in ("0", "false", "off")
+        else:
+            gen = None
+            try:
+                d = jax.devices()[0]
+                m = re.search(r"v(\d+)", getattr(d, "device_kind", "") or "")
+                gen = int(m.group(1)) if m else None
+            except Exception:
+                pass
+            # non-TPU platforms run interpret mode, where limits don't apply
+            _WIDE_VMEM = gen is None or gen >= 4
+    return _WIDE_VMEM
+
+
+def _single_pass_key_max() -> int:
+    """Widest resident key axis; collapses to the streamed default block on
+    small-VMEM cores (pre-widening behavior)."""
+    return _SINGLE_PASS_KEY_MAX if _wide_vmem() else DEF_BLOCK_K_MQA
 
 
 def _tpu_params(*dims: str):
     """CompilerParams for an MQA pallas_call: per-grid-dim semantics plus a
     raised scoped-VMEM limit (the wide single-pass tiles exceed Mosaic's
-    16 MiB default; v5e has 128 MiB physical VMEM)."""
+    16 MiB default; v5e has 128 MiB physical VMEM). On small-VMEM cores the
+    limit stays at the Mosaic default, matching the streamed tile sizing."""
     return pltpu.CompilerParams(
-        dimension_semantics=dims, vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+        dimension_semantics=dims,
+        vmem_limit_bytes=_VMEM_LIMIT_BYTES if _wide_vmem() else None)
 
 
 def _pad_axis(x, axis, block):
@@ -1124,7 +1163,8 @@ def _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset, block_r,
     # explicit smaller block_k (tests forcing the streamed online-softmax
     # path) is honored as given
     if block_k == DEF_BLOCK_K_MQA:
-        cap = _SINGLE_PASS_KEY_MAX if M <= _SINGLE_PASS_KEY_MAX else 1024
+        key_max = _single_pass_key_max()
+        cap = key_max if M <= key_max else min(1024, key_max)
         block_k = _pick_block(M, max(block_k, cap))
     else:
         block_k = _pick_block(M, block_k)
@@ -1193,10 +1233,10 @@ def _mqa_bwd(scale, offset, block_r, block_k, symmetric, causal, dropout_rate,
     B, N, H, D = q.shape
     M = k.shape[1]
     R = N * H
-    if block_k == DEF_BLOCK_K_MQA and M <= _SINGLE_PASS_KEY_MAX:
+    if block_k == DEF_BLOCK_K_MQA and M <= _single_pass_key_max():
         # whole key axis fits resident: widen the key block so the fused
         # 5-matmul kernel below engages (same policy as the forward)
-        block_k = _pick_block(M, max(block_k, _SINGLE_PASS_KEY_MAX))
+        block_k = _pick_block(M, max(block_k, _single_pass_key_max()))
     else:
         block_k = _pick_block(M, block_k)
     if -(-M // block_k) == 1 and block_r == DEF_BLOCK_R:

@@ -40,6 +40,10 @@ def cast_float_state(state, dtype):
 class SynthesizerConfig:
     text_buckets: tuple = (32, 64, 128, 256)
     frame_budgets: tuple = (256, 512, 1024, 2048)
+    #: batch sizes round UP to one of these (beyond the largest: to its next
+    #: multiple) so a long document's sentence count doesn't compile a fresh
+    #: whole-model executable per distinct batch size
+    batch_buckets: tuple = (1, 2, 4, 8, 16, 32)
     frames_per_token: float = 12.0  # frame-budget heuristic before durations
     steps: int = 4
     charset: tuple | None = None  # None = the checkpoint's own encoding_map
@@ -79,6 +83,7 @@ class Synthesizer:
             # (frames, batch) shape
             self._vocode = jax.jit(
                 lambda state, mel: nnx.merge(voc_graphdef, state).infer(mel))
+            self._check_vocoder_contract(vocoder)
 
         from .data.providers import TextProvider, TextProviderConfig
         from .data.text.table import CodingTable
@@ -124,6 +129,16 @@ class Synthesizer:
             if n <= b:
                 return b
         raise ValueError(f"input of length {n} exceeds the largest bucket {buckets[-1]}")
+
+    def _batch_bucket(self, n: int) -> int:
+        """Batch sizes round up like the other dims; beyond the largest
+        bucket, to its next multiple (compile count stays bounded)."""
+        buckets = self.config.batch_buckets
+        for b in buckets:
+            if n <= b:
+                return b
+        top = buckets[-1]
+        return -(-n // top) * top
 
     def _executable(self, text_bucket: int, frame_budget: int, batch: int):
         key = (text_bucket, frame_budget, batch)
@@ -219,6 +234,30 @@ class Synthesizer:
                 pieces.append(pause)
         return np.concatenate(pieces)
 
+    def _check_vocoder_contract(self, vocoder) -> None:
+        """The vocoder only inverts mels produced under ITS OWN mel contract;
+        a mismatch with the acoustic checkpoint plays audio at the wrong
+        speed/pitch (e.g. an official 24 kHz Vocos under a 22.05 kHz acoustic
+        model). Detected here, once, instead of as garbled output."""
+        fc = vocoder.features_config
+        problems = []
+        if getattr(fc, "n_mels", None) != self.model.mel_dim:
+            problems.append(f"n_mels {fc.n_mels} != model mel_dim "
+                            f"{self.model.mel_dim}")
+        geo = getattr(self.model.config, "audio_config", None)
+        if geo:  # self-describing checkpoint: the full contract is checkable
+            for k in ("sample_rate", "n_fft", "hop_length", "win_length",
+                      "f_min", "f_max"):
+                if geo.get(k) != getattr(fc, k, None):
+                    problems.append(
+                        f"{k} {getattr(fc, k, None)} != acoustic {geo.get(k)}")
+        if problems:
+            logger.warning(
+                "vocoder mel contract disagrees with the acoustic "
+                "checkpoint (%s) — audio will be speed/pitch-shifted or "
+                "garbled; retrain or reload the vocoder with matching "
+                "features", "; ".join(problems))
+
     def _audio_geometry(self) -> dict:
         """The checkpoint's mel/audio contract for Griffin-Lim inversion,
         from the self-describing ``audio_config`` injected at train time
@@ -233,8 +272,17 @@ class Synthesizer:
                 "checkpoint carries no audio_config; assuming the default "
                 "mel contract (22.05 kHz, n_fft 1024, hop 256) for "
                 "Griffin-Lim — retrain/resave to embed the real geometry")
-        return {"sample_rate": 22050, "n_fft": 1024, "hop_length": 256,
-                "win_length": 1024, "f_min": 0.0, "f_max": 8000.0}
+        # the framework defaults, from their single source of truth (the
+        # data-provider configs) — not a re-typed literal that could drift
+        from .data.providers import (AudioProviderConfig,
+                                     MelScaleProviderConfig,
+                                     SpectrogramProviderConfig)
+
+        spec, mel, audio = (SpectrogramProviderConfig(),
+                            MelScaleProviderConfig(), AudioProviderConfig())
+        return {"sample_rate": audio.sample_rate, "n_fft": spec.n_fft,
+                "hop_length": spec.hop_length, "win_length": spec.win_length,
+                "f_min": mel.f_min, "f_max": mel.f_max}
 
     def _synthesize_mel(self, text: str | list[str], seed: int = 0,
                         duration_factor: float = 1.0, pitch_factor: float = 1.0,
@@ -255,20 +303,25 @@ class Synthesizer:
                           self.config.frame_budgets)
 
         B = len(texts)
-        tokens = np.zeros((B, tb), np.int32)
-        lens = np.zeros((B,), np.int32)
+        # the batch dim is bucketed like the others: without it every distinct
+        # sentence count (synthesize_long) compiles and caches a fresh
+        # whole-model executable. Pad rows carry one <pad> token (length-1
+        # keeps the attention softmax non-degenerate) and are sliced off below.
+        Bb = self._batch_bucket(B)
+        tokens = np.zeros((Bb, tb), np.int32)
+        lens = np.ones((Bb,), np.int32)
         for i, e in enumerate(encoded):
             tokens[i, : e.vector_len] = e.vector
             lens[i] = e.vector_len
 
         budgets = self.config.frame_budgets
         while True:
-            fn = self._executable(tb, fb, B)
+            fn = self._executable(tb, fb, Bb)
             mel, dec_lens = fn(self._state, jnp.asarray(tokens),
                                jnp.asarray(lens), jax.random.PRNGKey(seed),
                                float(duration_factor), float(pitch_factor),
                                float(pitch_delta))
-            dec_lens = np.asarray(dec_lens)
+            dec_lens = np.asarray(dec_lens)[:B]  # drop batch-pad rows
             # dec_lengths == budget means the adaptor CLAMPED the predicted
             # durations at the bucket (documented clamp in the adaptor): a
             # slow-speaking checkpoint would silently lose tail frames.
@@ -287,4 +340,4 @@ class Synthesizer:
                 break
             fb = self._bucket(fb + 1, budgets)
             logger.info("frame budget saturated; retrying at %d", fb)
-        return np.asarray(mel), dec_lens
+        return np.asarray(mel)[:B], dec_lens

@@ -12,11 +12,14 @@ Files: ``checkpoint_{sN|eN}.ckpt``, ``checkpoint_last.ckpt``,
 
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Any
 
 import numpy as np
 from flax import serialization
+
+logger = logging.getLogger("isp_tts_tpu")
 
 
 def _to_serializable(obj: Any) -> Any:
@@ -69,7 +72,18 @@ def load_torch_checkpoint(path: str | Path) -> dict:
     """
     import torch
 
-    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        # tensors + plain containers (our own exported .pt files): safe mode
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        # reference checkpoints pickle an OmegaConf config object alongside
+        # the tensors (reference base.py:44 loads the same way) — full
+        # unpickling executes code from the file, so say so
+        logger.warning(
+            "%s is not loadable in safe mode (weights_only); falling back "
+            "to full unpickling — only do this with checkpoints you trust",
+            path)
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     model_blob = ckpt.get("model", ckpt)
     state_dict = model_blob.get("state_dict", model_blob)
     state = {k: v.detach().numpy() if hasattr(v, "detach") else np.asarray(v)

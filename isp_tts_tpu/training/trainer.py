@@ -118,6 +118,15 @@ class Trainer:
                 and not collator.config.fixed_shape):
             # each process collates only its local shard; bucket-by-local-max
             # would let processes disagree on the same global batch's shape
+            if (collator.config.max_text_len is None
+                    or collator.config.max_mel_len is None):
+                raise ValueError(
+                    "multi-process training requires fixed-shape collation, "
+                    "which needs collator max_text_len AND max_mel_len set "
+                    "(got text=%s, mel=%s) — failing now instead of after "
+                    "compile at the first batch" % (
+                        collator.config.max_text_len,
+                        collator.config.max_mel_len))
             collator.config.fixed_shape = True
             logger.info("multi-process run: forcing fixed-shape collation "
                         "(%s text x %s mel)", collator.config.max_text_len,

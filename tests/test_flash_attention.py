@@ -195,6 +195,48 @@ def test_flash_mqa_interpret_mode_on_cpu():
         assert rel < 1e-3, f"{name} rel err {rel}"
 
 
+def test_small_vmem_falls_back_to_streaming(monkeypatch):
+    """On v2/v3-class cores (16 MiB VMEM) the wide single-pass tiles and the
+    raised scoped limit don't fit: the gate must collapse the key window to
+    the streamed default AND the streamed path must still match the oracle
+    at key lengths the wide path would otherwise keep resident."""
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode check is the CPU-side variant")
+
+    monkeypatch.setattr(fa, "_WIDE_VMEM", False)
+    assert fa._single_pass_key_max() == fa.DEF_BLOCK_K_MQA
+    assert fa._tpu_params("parallel").vmem_limit_bytes is None
+
+    rng = np.random.RandomState(4)
+    B, H, N, M, D = 1, 2, 128, 1024, 64  # M > DEF block: streaming engages
+    q = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, M, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl])
+    key_lens = jnp.asarray([M - 33], jnp.int32)
+
+    fa.INTERPRET = True
+    try:
+        out_f = fa.flash_attention_mqa(q, k, v, slopes2, key_lens, D ** -0.5)
+        gf = jax.grad(lambda q, k, v, s: jnp.sum(
+            fa.flash_attention_mqa(q, k, v, s, key_lens, D ** -0.5) ** 2),
+            argnums=(0, 1, 2))(q, k, v, slopes2)
+    finally:
+        fa.INTERPRET = False
+    out_r = _ref_attn_mqa(q, k, v, slopes2, key_lens, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_r), atol=2e-5)
+    gr = jax.grad(lambda q, k, v, s: jnp.sum(
+        _ref_attn_mqa(q, k, v, s, key_lens, D ** -0.5) ** 2),
+        argnums=(0, 1, 2))(q, k, v, slopes2)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gr):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 1e-4, f"{name} rel err {rel}"
+
+
 @requires_tpu
 def test_flash_mqa_bf16_close_to_f32():
     """The training dtype path (bf16 operands into the MXU, f32 accumulate,

@@ -215,6 +215,97 @@ def test_audio_geometry_from_self_describing_checkpoint():
     assert np.isfinite(wavs[0]).all()
 
 
+def test_batch_dim_buckets(synthesizer):
+    """The batch dim is bucketed like text/frames: a long document's
+    sentence count must NOT compile a fresh whole-model executable per
+    distinct batch size, and beyond the largest bucket it pads to the next
+    multiple instead of raising."""
+    import jax.numpy as jnp
+
+    seen = []
+    real = synthesizer._executable
+
+    def stub(tb, fb, batch):
+        def run(state, tokens, lens, key, df, pf, pd):
+            seen.append((batch, tokens.shape[0], int(lens.min())))
+            return (jnp.zeros((batch, fb, 16), jnp.float32),
+                    jnp.full((batch,), 10, jnp.int32))
+
+        return run
+
+    synthesizer._executable = stub
+    try:
+        mels = synthesizer(["one.", "two.", "three."])  # B=3 -> bucket 4
+    finally:
+        synthesizer._executable = real
+    assert len(mels) == 3  # pad row sliced off
+    assert seen == [(4, 4, 1)]  # padded batch; pad rows carry length-1 text
+
+    assert synthesizer._batch_bucket(1) == 1
+    assert synthesizer._batch_bucket(5) == 8
+    assert synthesizer._batch_bucket(33) == 64   # next multiple of 32
+    assert synthesizer._batch_bucket(65) == 96
+
+
+def test_batch_padding_preserves_real_outputs(synthesizer):
+    """Bucket-padded rows must not change the real rows' mels (the model is
+    always-masked; a B=3 call equals the same texts inside a B=2 call)."""
+    texts = ["hello there.", "tiny.", "third one here."]
+    batch = synthesizer(texts, seed=3)          # B=3 -> padded to 4
+    solo = synthesizer(texts[:2], seed=3)       # B=2 -> exact bucket
+    np.testing.assert_allclose(batch[0], solo[0], atol=1e-5)
+    np.testing.assert_allclose(batch[1], solo[1], atol=1e-5)
+
+
+def test_vocoder_contract_mismatch_warns(caplog):
+    """A vocoder only inverts mels produced under its own mel contract; a
+    sample-rate/hop mismatch with the acoustic checkpoint must be loud at
+    construction, not discovered as pitch-shifted audio."""
+    import logging
+
+    from isp_tts_tpu.config.registry import build_config as bc
+    from isp_tts_tpu.data.text.table import CodingTable
+    from isp_tts_tpu.models.vocoder import VocoderModel, VocoderModelConfig
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    geo = {"sample_rate": 16000, "n_fft": 512, "hop_length": 128,
+           "win_length": 512, "f_min": 0.0, "f_max": 7600.0}
+    model = AcousticModel(build_config(AcousticModelConfig, dict(
+        TINY, encoding_map=dict(ct.encoding_map), audio_config=geo)),
+        rngs=nnx.Rngs(0))
+    voc_cfg = bc(VocoderModelConfig, {
+        "features": {"sample_rate": 22050, "n_fft": 512, "hop_length": 128,
+                     "win_length": 512, "n_mels": 16, "f_min": 0.0,
+                     "f_max": 7600.0},
+        "generator": {"dim": 16, "intermediate_dim": 32, "num_layers": 1},
+        "discriminator": {"periods": [2], "resolutions": [[64, 16]],
+                          "mpd_channels": [2], "mrd_channels": 2},
+    })
+    vocoder = VocoderModel(voc_cfg, rngs=nnx.Rngs(1))
+    with caplog.at_level(logging.WARNING, logger="isp_tts_tpu"):
+        Synthesizer(model, SynthesizerConfig(
+            text_buckets=(16,), frame_budgets=(64,), steps=1,
+            charset=tuple(charset)), vocoder=vocoder)
+    assert any("sample_rate 22050 != acoustic 16000" in r.message
+               for r in caplog.records)
+
+    # matching contract: silent
+    caplog.clear()
+    voc_cfg2 = bc(VocoderModelConfig, {
+        "features": dict(geo, n_mels=16),
+        "generator": {"dim": 16, "intermediate_dim": 32, "num_layers": 1},
+        "discriminator": {"periods": [2], "resolutions": [[64, 16]],
+                          "mpd_channels": [2], "mrd_channels": 2},
+    })
+    with caplog.at_level(logging.WARNING, logger="isp_tts_tpu"):
+        Synthesizer(model, SynthesizerConfig(
+            text_buckets=(16,), frame_budgets=(64,), steps=1,
+            charset=tuple(charset)), vocoder=VocoderModel(voc_cfg2,
+                                                          rngs=nnx.Rngs(1)))
+    assert not any("mel contract" in r.message for r in caplog.records)
+
+
 def test_synthesizer_bf16_weights_close_to_f32():
     """weights_dtype='bf16' halves serving HBM traffic; outputs must stay
     close to the f32-weight path (same tokens, same seed)."""

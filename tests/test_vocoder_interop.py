@@ -242,3 +242,14 @@ def test_unrecognized_checkpoint_raises(tmp_path):
     torch.save({"encoder.w": torch.zeros(3, 3)}, path)
     with pytest.raises(ValueError, match="no Vocos backbone"):
         load_torch_vocoder(path)
+
+
+def test_pickled_module_rejected_without_code_execution(tmp_path):
+    """A non-TorchScript file that needs full unpickling (e.g. a pickled
+    nn.Module — or a malicious payload) must be REJECTED, not loaded with
+    weights_only=False: that would execute arbitrary code from a
+    user-supplied --vocoder path."""
+    path = tmp_path / "module.pt"
+    torch.save(torch.nn.Linear(2, 2), path)  # stand-in for untrusted pickle
+    with pytest.raises(ValueError, match="state_dict"):
+        load_torch_vocoder(path)
