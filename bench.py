@@ -219,7 +219,85 @@ def _run():
     if per_call_voc is not None:
         result["neural_vocoder_xrt_b32"] = round(
             frames * HOP / SAMPLE_RATE / per_call_voc, 1)
+
+    # train-step throughput (BASELINE.md tracked metric "train steps/sec";
+    # reference: 20.7 samples/s T4 fine-tune, training.ipynb cell 16). Runs
+    # LAST: it flips the PRNG impl to the trainer's rbg default, which must
+    # not touch the serving measurements above. Failure here must not cost
+    # the serving metrics.
+    try:
+        result.update(_train_lane())
+    except Exception as e:  # noqa: BLE001
+        print(f"train lane skipped ({type(e).__name__}: {e})", file=sys.stderr)
     print(json.dumps(result))
+
+
+TRAIN_BASELINE_SAMPLES_S = 20.7  # reference T4 fine-tune (BASELINE.md)
+
+
+def _train_lane() -> dict:
+    """ms/step for the fully-jitted core-recipe train step (fwd + 4-term
+    loss + grads + adamw) at production shapes, chained-scan methodology —
+    the number behind docs/PERF_R3.md, recorded by the driver."""
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).parent / "tools"))
+    import bench_train
+    from flax import nnx
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # Trainer fast_rng
+    model, criterion, tx, batch, _cfg = bench_train.build(32, 128, 768)
+    graphdef, state = nnx.split(model)
+    opt_state = tx.init(nnx.state(model, nnx.Param))
+
+    def make(n_iter):
+        @jax.jit
+        def many(model_state, opt_state):
+            def body(carry, step):
+                ms, os_ = carry
+                m = nnx.merge(graphdef, ms)
+
+                def loss_fn(mm):
+                    inputs = mm.prepare_inputs(batch)
+                    loss, losses = criterion(inputs, mm(**inputs), step)
+                    return loss.astype(jnp.float32), losses
+
+                (loss, _), grads = nnx.value_and_grad(
+                    loss_fn, has_aux=True)(m)
+                p = nnx.state(m, nnx.Param)
+                updates, os_ = tx.update(grads, os_, p)
+                nnx.update(m, jax.tree.map(lambda a, b: a + b, p, updates))
+                _gd, ms = nnx.split(m)
+                return (ms, os_), loss
+
+            (_ms, _os), losses = jax.lax.scan(
+                body, (model_state, opt_state),
+                jnp.arange(n_iter, dtype=jnp.int32))
+            return losses
+
+        return many
+
+    f_small, f_large = make(N_SMALL), make(N_LARGE)
+    losses = np.asarray(f_small(state, opt_state))  # warm/compile
+    assert np.isfinite(losses).all()
+    np.asarray(f_large(state, opt_state))
+
+    def timed(f):
+        t0 = time.perf_counter()
+        np.asarray(f(state, opt_state))
+        return time.perf_counter() - t0
+
+    t_small = min(timed(f_small) for _ in range(2))
+    t_large = min(timed(f_large) for _ in range(2))
+    per_step = (t_large - t_small) / (N_LARGE - N_SMALL)
+    samples_s = 32 / per_step
+    print(f"train step: {per_step*1000:.2f} ms (B=32, mel 768) "
+          f"= {samples_s:.0f} samples/s", file=sys.stderr)
+    return {
+        "train_step_ms_b32": round(per_step * 1000, 2),
+        "train_samples_per_s": round(samples_s, 1),
+        "vs_train_baseline": round(samples_s / TRAIN_BASELINE_SAMPLES_S, 1),
+    }
 
 
 if __name__ == "__main__":

@@ -31,7 +31,30 @@ from isp_tts_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache()
 
 
-def build(batch, text_len, mel_len, seed=0):
+#: production-scale preset (~115M params): wider residual stream, deeper
+#: stacks, and 128-wide heads — the MXU-native tile width (the 23M core
+#: model's D=64 heads use half the systolic array's contraction lanes).
+#: Evidence that the framework's kernels/step hold their efficiency beyond
+#: the reference's model scale.
+LARGE_OVERRIDES = {
+    "_defaults_": {"dim": 768},
+    "encoder": {"depth": 8, "transformer_layer": {
+        "attention": {"heads": 6, "head_dim": 128},
+        "feed_forward": {"inner_dim": 3072}}},
+    "decoder": {"depth": 8},
+    "temporal_adaptor": {
+        "predictor": {"transformer": {"dim": 512, "depth": 4,
+                      "transformer_layer": {
+                          "attention": {"heads": 4, "head_dim": 128},
+                          "feed_forward": {"inner_dim": 2048}}}},
+        "embedding": {"transformer": {"dim": 512, "transformer_layer": {
+            "attention": {"heads": 4, "head_dim": 128},
+            "feed_forward": {"inner_dim": 2048}}}},
+    },
+}
+
+
+def build(batch, text_len, mel_len, seed=0, model_overrides=None):
     from flax import nnx
 
     from isp_tts_tpu.config import build_config, load_recipe
@@ -40,9 +63,10 @@ def build(batch, text_len, mel_len, seed=0):
     from isp_tts_tpu.training.optimizers import build_optimizer
     from isp_tts_tpu.training.trainer_config import OptimizationConfig
 
-    recipe = load_recipe("acoustic/core", "recipes", overrides={
-        "dataset": {"root": "."},
-    })
+    overrides = {"dataset": {"root": "."}}
+    if model_overrides:
+        overrides["model"] = model_overrides
+    recipe = load_recipe("acoustic/core", "recipes", overrides=overrides)
     cfg_dict = dict(recipe["model"])
     cfg_dict["encoding_map"] = {f"c{i}": i for i in range(150)}
     cfg = build_config(AcousticModelConfig, cfg_dict)
@@ -65,7 +89,7 @@ def build(batch, text_len, mel_len, seed=0):
         "pitch": jnp.asarray(rng.randn(batch, mel_len), jnp.float32),
         "energy": jnp.asarray(rng.randn(batch, mel_len), jnp.float32),
     }
-    return model, criterion, tx, batch_data
+    return model, criterion, tx, batch_data, dict(recipe["model"])
 
 
 def main():
@@ -81,6 +105,10 @@ def main():
                     help="use the default threefry PRNG instead of rbg "
                          "(the trainer defaults to fast_rng=rbg; bench the "
                          "production configuration unless asked otherwise)")
+    ap.add_argument("--preset", choices=["core", "large"], default="core",
+                    help="'large' = ~115M-param config (dim 768, depth 8, "
+                         "128-wide heads): framework efficiency beyond the "
+                         "reference's 23M model scale")
     args = ap.parse_args()
 
     if not args.threefry:  # match Trainer fast_rng=True (experiment.py)
@@ -88,9 +116,14 @@ def main():
 
     from flax import nnx
 
-    model, criterion, tx, batch = build(args.batch, args.text_len, args.mel_len)
+    model, criterion, tx, batch, model_cfg = build(
+        args.batch, args.text_len, args.mel_len,
+        model_overrides=LARGE_OVERRIDES if args.preset == "large" else None)
+    from isp_tts_tpu.utils.misc import count_parameters
+
     graphdef, state = nnx.split(model)
     params = nnx.state(model, nnx.Param)
+    print(f"preset={args.preset} params={count_parameters(params):,}")
     opt_state = tx.init(params)
 
     def one_step(model_state, opt_state, step):
@@ -144,7 +177,7 @@ def main():
           f"text={args.text_len}: {per_step*1000:.2f} ms/step "
           f"({args.batch/per_step:.0f} samples/s)")
 
-    _print_mfu(f_large, state, opt_state, args, per_step)
+    _print_mfu(f_large, state, opt_state, args, per_step, model_cfg)
 
     if args.profile:
         with jax.profiler.trace(args.trace_dir):
@@ -198,7 +231,7 @@ def _hlo_matmul_flops(text: str) -> float:
     return total
 
 
-def _print_mfu(f_large, state, opt_state, args, per_step):
+def _print_mfu(f_large, state, opt_state, args, per_step, model_cfg):
     """MFU estimate: HLO-parsed matmul flops + analytic Pallas flash-kernel
     flops (custom calls are opaque to XLA) over the bf16 peak. The scan
     body appears once in the module text, so the parsed total is per-step
@@ -209,16 +242,22 @@ def _print_mfu(f_large, state, opt_state, args, per_step):
     except Exception as e:  # noqa: BLE001
         print(f"(hlo flop census unavailable: {e})")
         return
-    B, D = args.batch, 64
-    # folded-MQA flash per layer: fwd 2 matmuls + fused bwd 5, each
-    # 2*(N*H)*M*D FLOP (core.yaml heads: enc/dec 6, predictor/embedding 4)
-    def attn_flops(n, m, heads, layers):
-        return layers * 7 * 2 * (n * heads) * m * D * B
+    B = args.batch
 
-    flash = (attn_flops(args.text_len, args.text_len, 6, 6)      # encoder
-             + attn_flops(args.mel_len, args.mel_len, 6, 6)      # decoder
-             + attn_flops(args.text_len, args.text_len, 4, 3)    # flow predictor
-             + attn_flops(args.mel_len, args.mel_len, 4, 1))     # feature embedding
+    # folded-MQA flash per layer: fwd 2 matmuls + fused bwd 5, each
+    # 2*(N*H)*M*D FLOP; heads/head_dim/depth read from the resolved recipe
+    def attn_flops(n, m, block):
+        a = block["transformer_layer"]["attention"]
+        return (int(block.get("depth", 1)) * 7 * 2
+                * (n * int(a["heads"])) * m * int(a["head_dim"]) * B)
+
+    ta = model_cfg["temporal_adaptor"]
+    flash = (attn_flops(args.text_len, args.text_len, model_cfg["encoder"])
+             + attn_flops(args.mel_len, args.mel_len, model_cfg["decoder"])
+             + attn_flops(args.text_len, args.text_len,
+                          ta["predictor"]["transformer"])
+             + attn_flops(args.mel_len, args.mel_len,
+                          ta["embedding"]["transformer"]))
     total = xla_flops + flash
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in _PEAK_TFLOPS.items() if k in kind), 197.0)
