@@ -50,10 +50,11 @@ class SynthesizerConfig:
     phonemizer: bool = False
     language: str = "en-us"
     extra_controls: dict = field(default_factory=dict)
-    #: cast float weights for serving (e.g. "bf16"): halves weight HBM
-    #: footprint/traffic. Measured on the 23M core model it does NOT move
-    #: batch-1 latency (the bf16 weights fit v5e VMEM either way, bench.py
-    #: b1 lanes) — the lever matters for models that exceed VMEM residency.
+    #: cast float weights for serving (e.g. "bf16"): halves the weights'
+    #: HBM *capacity* footprint. Measured at 23M AND 119M params it does
+    #: not move latency — under the bf16 compute policy XLA hoists the
+    #: param casts out of the serving loop, so the hot loop streams bf16
+    #: bytes either way (docs/PERF_R3.md "Serving at scale").
     weights_dtype: str | None = None
 
 
