@@ -1138,7 +1138,14 @@ def _drop_params(dropout_rate, R, M):
     """Static kernel dropout spec: (thresh, 1/(1-rate), true R, true M)."""
     if not dropout_rate:
         return None
-    return (dropout_thresh(dropout_rate), 1.0 / (1.0 - dropout_rate), R, M)
+    thresh = dropout_thresh(dropout_rate)
+    if thresh >= 256:
+        # rate < 1/512 quantizes to keep-everything: treat as no dropout —
+        # the same boundary the einsum path (ops/attention.py) and
+        # FastDropout take, otherwise the kernel would still rescale by
+        # 1/(1-rate) while dropping nothing
+        return None
+    return (thresh, 1.0 / (1.0 - dropout_rate), R, M)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
@@ -1170,8 +1177,12 @@ def _mqa_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset, block_r,
         block_k = _pick_block(M, block_k)
     # (widening the forward row block to 1536 was tried and measured NEUTRAL
     # to slightly worse — the fwd holds fewer live tiles and pipelines better
-    # at 768 rows; only the fused backward below wins from wider rows)
-    block_r = _pick_block(R, 512 if block_k > 768 else block_r)
+    # at 768 rows; only the fused backward below wins from wider rows).
+    # An EXPLICIT block_r is honored as given, like block_k above
+    if block_r == DEF_BLOCK_R:
+        block_r = _pick_block(R, 512 if block_k > 768 else block_r)
+    else:
+        block_r = _pick_block(R, block_r)
     q2 = _pad_axis(q.reshape(B, R, D), 1, block_r)
     kp = _pad_axis(k, 1, block_k)
     vp = _pad_axis(v, 1, block_k)

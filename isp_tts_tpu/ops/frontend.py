@@ -74,6 +74,13 @@ def extract_features(audio: jnp.ndarray, audio_lens: jnp.ndarray,
                       c.hop_length, c.pitch_threshold)
     n_frames_mel = mel.shape[1]
     if pitch.shape[1] < n_frames_mel:
+        # zero-pad the missing final YIN frame(s): the YIN frame (2*tau_max)
+        # outruns win_length, so the last mel frame can lack a pitch estimate
+        # and reads as unvoiced (0 Hz -> -mean/std after standardization).
+        # REFERENCE PARITY, kept deliberately: the torch dataset pads the
+        # same way (reference tts/data/dataset.py:152, F.pad with zeros), as
+        # does our per-sample path (data/dataset.py), and the frontend is
+        # tested == providers.
         pitch = jnp.pad(pitch, ((0, 0), (0, n_frames_mel - pitch.shape[1])))
     pitch = (pitch[:, :n_frames_mel] - pitch_mean) / pitch_std
 

@@ -52,7 +52,12 @@ def _yin_1d(signal, sample_rate, tau_min, tau_max, hop_length, threshold):
     n_lags = cmndf.shape[-1]
 
     # absolute threshold (YIN step 4): first lag below threshold, then walk to
-    # the local minimum (first non-decreasing slope)
+    # the local minimum (first non-decreasing slope).
+    # Inherited quirk (torch-yin parity, kept deliberately): argmax returns 0
+    # both for "lag index 0 is below threshold" and "no lag below", so a
+    # frame whose CMNDF dips under threshold exactly at the FIRST searched
+    # lag (F0 right at pitch_max) reads as unvoiced 0 Hz — same output as
+    # the vendored torch-yin the reference uses.
     below = cmndf < threshold
     first_below = jnp.argmax(below, axis=-1, keepdims=True)
     first_below = jnp.where(first_below > 0, first_below, tau_max)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .audio import hann_window, mel_filterbank
+from .audio import mel_filterbank
 
 
 @functools.lru_cache(maxsize=4)
@@ -40,21 +40,51 @@ def mel_to_linear(log_mel: jnp.ndarray, sample_rate: int, n_fft: int = 1024,
     return jnp.maximum(mag, 0.0)
 
 
+@functools.lru_cache(maxsize=8)
+def _synth_window(win_length: int, n_fft: int) -> np.ndarray:
+    """Periodic Hann of ``win_length`` centered inside the ``n_fft`` frame —
+    the synthesis-side mirror of the analysis centering in
+    ``ops/audio._stft_mag_1d`` (same ``(n_fft - win)//2`` left pad), so
+    win_length < n_fft round-trips instead of crashing on a shape mismatch."""
+    n = np.arange(win_length, dtype=np.float64)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    if win_length < n_fft:
+        lpad = (n_fft - win_length) // 2
+        win = np.pad(win, (lpad, n_fft - win_length - lpad))
+    elif win_length > n_fft:
+        raise ValueError(f"win_length {win_length} > n_fft {n_fft}")
+    return win.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=8)
+def _ola_norm(T: int, n_fft: int, hop_length: int, win_length: int) -> np.ndarray:
+    """Window-square overlap-add normalizer — a CONSTANT per (T, n_fft, hop,
+    win), precomputed on the host so Griffin-Lim's `lax.scan` body doesn't
+    rebuild a T*n_fft scatter/OLA every phase-recovery iteration (XLA does
+    not hoist loop-invariant code out of scan bodies)."""
+    win = _synth_window(win_length, n_fft)
+    out_len = n_fft + hop_length * (T - 1)
+    norm = np.zeros((out_len,), np.float64)
+    idx = np.arange(T)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    np.add.at(norm, idx.reshape(-1),
+              np.tile((win * win).astype(np.float64), T))
+    return norm.astype(np.float32)
+
+
 def istft(spec: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256,
           win_length: int = 1024) -> jnp.ndarray:
     """Inverse STFT with overlap-add, (..., n_freqs, frames) complex -> (..., n)."""
-    win = hann_window(win_length)
+    win = jnp.asarray(_synth_window(win_length, n_fft))
     frames = jnp.fft.irfft(jnp.swapaxes(spec, -1, -2), n=n_fft, axis=-1)  # (..., T, n_fft)
     frames = frames * win
 
     T = frames.shape[-2]
     out_len = n_fft + hop_length * (T - 1)
     idx = jnp.arange(T)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
+    norm = jnp.asarray(_ola_norm(T, n_fft, hop_length, win_length))
 
     def ola(fr):
         sig = jnp.zeros((out_len,), fr.dtype).at[idx.reshape(-1)].add(fr.reshape(-1))
-        norm = jnp.zeros((out_len,)).at[idx.reshape(-1)].add(
-            jnp.broadcast_to(win * win, (T, n_fft)).reshape(-1))
         return sig / jnp.maximum(norm, 1e-8)
 
     flat = frames.reshape((-1,) + frames.shape[-2:])
@@ -91,7 +121,7 @@ def _stft_complex(audio, n_fft, hop_length, win_length, pad):
 
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)])
     frames = frame_signal(x, n_fft, hop_length)
-    win = hann_window(win_length)
+    win = jnp.asarray(_synth_window(win_length, n_fft))
     return jnp.swapaxes(jnp.fft.rfft(frames * win, n=n_fft, axis=-1), -1, -2)
 
 
@@ -156,10 +186,11 @@ def _ola_dense(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
 
 
 def istft_matmul(spec_re: jnp.ndarray, spec_im: jnp.ndarray, n_fft: int = 1024,
-                 hop_length: int = 256, win_length: int = 1024) -> jnp.ndarray:
-    """Real-pair inverse STFT: (..., n_freqs, T) x2 -> (..., samples)."""
+                 hop_length: int = 256,
+                 win_length: int = 1024) -> tuple[jnp.ndarray, int]:
+    """Real-pair inverse STFT: (..., n_freqs, T) x2 -> ((..., samples), n)."""
     _, _, inv_re, inv_im = _dft_bases(n_fft)
-    win = hann_window(win_length)
+    win = jnp.asarray(_synth_window(win_length, n_fft))
     re = jnp.swapaxes(spec_re, -1, -2)  # (..., T, n_freqs)
     im = jnp.swapaxes(spec_im, -1, -2)
     frames = re @ jnp.asarray(inv_re) + im @ jnp.asarray(inv_im)
@@ -168,8 +199,7 @@ def istft_matmul(spec_re: jnp.ndarray, spec_im: jnp.ndarray, n_fft: int = 1024,
     T = frames.shape[-2]
     out_len = n_fft + hop_length * (T - 1)
     sig = _ola_dense(frames, hop_length)
-    wsq = jnp.broadcast_to(win * win, (1, T, n_fft))
-    norm = _ola_dense(wsq, hop_length)[0]
+    norm = jnp.asarray(_ola_norm(T, n_fft, hop_length, win_length))
     return sig / jnp.maximum(norm, 1e-8), out_len
 
 
@@ -179,7 +209,8 @@ def _stft_matmul(audio: jnp.ndarray, n_fft: int, hop_length: int,
 
     fwd_re, fwd_im, _, _ = _dft_bases(n_fft)
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)])
-    frames = frame_signal(x, n_fft, hop_length) * hann_window(win_length)
+    frames = (frame_signal(x, n_fft, hop_length)
+              * jnp.asarray(_synth_window(win_length, n_fft)))
     re = jnp.swapaxes(frames @ jnp.asarray(fwd_re), -1, -2)  # (..., F, T)
     im = jnp.swapaxes(frames @ jnp.asarray(fwd_im), -1, -2)
     return re, im

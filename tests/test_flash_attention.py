@@ -237,6 +237,48 @@ def test_small_vmem_falls_back_to_streaming(monkeypatch):
         assert rel < 1e-4, f"{name} rel err {rel}"
 
 
+def test_explicit_row_block_honored(monkeypatch):
+    """An explicit non-default block_r must configure the kernel as given
+    (like block_k) and still match the oracle — the forward used to
+    silently override it to 512 whenever the key block widened."""
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("interpret-mode check is the CPU-side variant")
+
+    picked = []
+    real_pick = fa._pick_block
+
+    def spy(n, bmax):
+        picked.append((n, bmax))
+        return real_pick(n, bmax)
+
+    monkeypatch.setattr(fa, "_pick_block", spy)
+
+    rng = np.random.RandomState(6)
+    B, H, N, M, D = 1, 2, 256, 1024, 64
+    q = jnp.asarray(rng.randn(B, N, H, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, M, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, M, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl])
+    key_lens = jnp.asarray([M], jnp.int32)
+
+    fa.INTERPRET = True
+    try:
+        out = fa.flash_attention_mqa(q, k, v, slopes2, key_lens, D ** -0.5,
+                                     block_r=256)
+    finally:
+        fa.INTERPRET = False
+    # the row-block pick must have been constrained by the explicit 256,
+    # not the 512 wide-key override
+    assert (N * H, 256) in picked, picked
+    assert all(bmax != 512 for n, bmax in picked if n == N * H), picked
+    out_r = _ref_attn_mqa(q, k, v, slopes2, key_lens, D ** -0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=2e-5)
+
+
 @requires_tpu
 def test_flash_mqa_bf16_close_to_f32():
     """The training dtype path (bf16 operands into the MXU, f32 accumulate,

@@ -84,3 +84,52 @@ def test_mel_to_audio_end_to_end():
     spec = np.abs(np.fft.rfft(out))
     freqs = np.fft.rfftfreq(len(out), 1 / SR)
     assert abs(freqs[spec.argmax()] - 220.0) < 15.0
+
+def test_short_window_synthesis_roundtrip():
+    """win_length < n_fft crashed every synthesis-side function (the
+    analysis STFT centered the short window; the inverses never mirrored
+    it). Now the centered synthesis window round-trips and Griffin-Lim
+    recovers the tone under a 512/1024 contract."""
+    import jax
+
+    from isp_tts_tpu.ops.vocoder import (_stft_matmul, griffin_lim,
+                                         griffin_lim_matmul, istft_matmul)
+
+    audio = _sine(330.0, 4096)
+    n_fft, hop, win = 1024, 256, 512
+    pad = (n_fft - hop) // 2
+
+    # analysis parity: matmul STFT with the short window == the FFT-based
+    # provider front-end (which has always centered it)
+    re, im = _stft_matmul(jnp.asarray(audio)[None], n_fft, hop, win, pad)
+    mag_ref = stft_magnitude(jnp.asarray(audio)[None], n_fft, hop, win)
+    np.testing.assert_allclose(
+        np.asarray(jnp.sqrt(re**2 + im**2)), np.asarray(mag_ref), atol=2e-3)
+
+    # synthesis round-trip: istft_matmul inverts its own analysis (interior)
+    recon, out_len = istft_matmul(re, im, n_fft, hop, win)
+    recon = np.asarray(recon)[0]
+    assert out_len == recon.shape[-1]
+    padded = np.pad(audio, (pad, pad))
+    np.testing.assert_allclose(recon[1024:3072], padded[1024:3072], atol=1e-2)
+
+    # both Griffin-Lim formulations run and agree under the short window
+    mag = stft_magnitude(jnp.asarray(audio), n_fft, hop, win)
+    key = jax.random.PRNGKey(5)
+    a = np.asarray(griffin_lim(mag, n_iter=4, n_fft=n_fft, hop_length=hop,
+                               win_length=win, key=key))
+    b = np.asarray(griffin_lim_matmul(mag, n_iter=4, n_fft=n_fft,
+                                      hop_length=hop, win_length=win, key=key))
+    np.testing.assert_allclose(b, a, atol=2e-3)
+
+
+def test_tiny_dropout_rate_is_exact_noop():
+    """dropout_rate < 1/512 quantizes to keep-everything in the 8-bit mask;
+    the kernel spec must then be a true no-op (no 1/(1-rate) rescale), the
+    same boundary the einsum and FastDropout paths take."""
+    from isp_tts_tpu.ops.flash_attention import _drop_params, dropout_thresh
+
+    assert dropout_thresh(1e-3) == 256
+    assert _drop_params(1e-3, 64, 64) is None
+    assert _drop_params(0.0, 64, 64) is None
+    assert _drop_params(0.1, 64, 64) is not None

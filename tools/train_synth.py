@@ -147,6 +147,11 @@ def main():
     ap.add_argument("--run-dir", type=Path, default=Path("/tmp/synth_runs"))
     ap.add_argument("--out-assets", type=Path,
                     default=Path("docs/assets/train_r3"))
+    ap.add_argument("--model-scale", choices=["core", "large"],
+                    default="core",
+                    help="'large' trains bench_train's 118.8M-param preset "
+                         "(128-wide heads) — ties the scale benchmark to "
+                         "actual learning, not just step timing")
     args = ap.parse_args()
 
     from isp_tts_tpu.data.metadata import TTSMeta
@@ -167,9 +172,17 @@ def main():
     assets.mkdir(parents=True, exist_ok=True)
 
     repo = Path(__file__).parent.parent
+    overrides = build_overrides(args.root, args.run_dir, args.steps)
+    if args.model_scale == "large":
+        from tools.bench_train import LARGE_OVERRIDES
+        from isp_tts_tpu.config.loader import merge_dicts
+
+        overrides["model"] = merge_dicts(overrides.get("model", {}),
+                                         LARGE_OVERRIDES)
+        overrides["trainer"]["experiment_name"] = "synth_r3_large"
     modules = ExperimentModules(
         "acoustic/core", str(repo / "recipes"),
-        overrides=build_overrides(args.root, args.run_dir, args.steps))
+        overrides=overrides)
     modules.init_modules()
     trainer = modules.build_trainer()
     trainer.callbacks.callbacks.append(
