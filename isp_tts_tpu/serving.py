@@ -60,31 +60,50 @@ class SynthesizerConfig:
 
 class Synthesizer:
     def __init__(self, model, config: SynthesizerConfig | None = None,
-                 vocoder=None):
+                 vocoder=None, mesh=None, data_axis: str = "data"):
         self.model = model
         self.config = config or SynthesizerConfig()
         model.eval()
+        self._has_speaker = getattr(model, "speaker_embedding", None) is not None
+        dynamic = {"duration_factor", "pitch_factor", "pitch_delta",
+                   "energy_factor", "energy_delta", "speaker"}
+        clash = dynamic & set(self.config.extra_controls)
+        if clash:
+            raise ValueError(
+                f"{sorted(clash)} are dynamic per-request controls — pass "
+                "them at call time, not in extra_controls")
         self._graphdef, self._state = nnx.split(model)
         if self.config.weights_dtype is not None:
             self._state = cast_float_state(self._state,
                                            self.config.weights_dtype)
         self._compiled: dict[tuple, callable] = {}
 
+        # -- mesh serving (data-parallel scale-out) --------------------------
+        # With a Mesh, weights replicate across it and the batch dim shards
+        # over ``data_axis``: one jitted executable serves B/ndev rows per
+        # chip with zero collectives in the hot path (batch rows are
+        # independent), so throughput scales over ICI. The reference's
+        # Accelerate story covers training only; serving there is one GPU
+        # (inference.ipynb). Batch buckets round up to multiples of the axis
+        # size so shards stay equal.
+        self.mesh = mesh
+        self._data_axis = data_axis
+        self._ndev = 1
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._ndev = int(mesh.shape[data_axis])
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh,
+                                                 PartitionSpec(data_axis))
+            self._state = jax.device_put(self._state, self._replicated)
+
         # optional in-repo neural vocoder (models.vocoder.VocoderModel): the
         # reference's external-TorchScript step (inference.ipynb cell 7)
         # becomes one more bucketed on-device executable
-        self.vocoder = vocoder
+        self.vocoder = None
         if vocoder is not None:
-            vocoder.eval()
-            voc_graphdef, self._voc_state = nnx.split(vocoder)
-            if self.config.weights_dtype is not None:
-                self._voc_state = cast_float_state(
-                    self._voc_state, self.config.weights_dtype)
-            # one jitted entry point; jax.jit's own cache specializes per
-            # (frames, batch) shape
-            self._vocode = jax.jit(
-                lambda state, mel: nnx.merge(voc_graphdef, state).infer(mel))
-            self._check_vocoder_contract(vocoder)
+            self.attach_vocoder(vocoder)
 
         from .data.providers import TextProvider, TextProviderConfig
         from .data.text.table import CodingTable
@@ -111,9 +130,30 @@ class Synthesizer:
             self.text_provider.coding_table = CodingTable.from_encoding_map(
                 model.encoding_map)
 
+    def attach_vocoder(self, vocoder) -> None:
+        """Wire an in-repo neural vocoder (models.vocoder.VocoderModel) as
+        the mel->waveform stage: the reference's external-TorchScript step
+        (inference.ipynb cell 7) becomes one more bucketed on-device
+        executable. Callable after construction (e.g. to serve a vocoder
+        fresh out of its GANTrainer)."""
+        vocoder.eval()
+        self.vocoder = vocoder
+        voc_graphdef, self._voc_state = nnx.split(vocoder)
+        if self.config.weights_dtype is not None:
+            self._voc_state = cast_float_state(
+                self._voc_state, self.config.weights_dtype)
+        if self.mesh is not None:
+            self._voc_state = jax.device_put(self._voc_state,
+                                             self._replicated)
+        # one jitted entry point; jax.jit's own cache specializes per
+        # (frames, batch) shape
+        self._vocode = jax.jit(
+            lambda state, mel: nnx.merge(voc_graphdef, state).infer(mel))
+        self._check_vocoder_contract(vocoder)
+
     @classmethod
     def from_pretrained(cls, path, config: SynthesizerConfig | None = None,
-                        vocoder_path=None):
+                        vocoder_path=None, mesh=None, data_axis: str = "data"):
         from .models import AcousticModel
 
         vocoder = None
@@ -121,7 +161,8 @@ class Synthesizer:
             from .models import VocoderModel
 
             vocoder = VocoderModel.from_pretrained(vocoder_path)
-        return cls(AcousticModel.from_pretrained(path), config, vocoder=vocoder)
+        return cls(AcousticModel.from_pretrained(path), config,
+                   vocoder=vocoder, mesh=mesh, data_axis=data_axis)
 
     # -- shape bucketing -----------------------------------------------------
 
@@ -133,16 +174,33 @@ class Synthesizer:
 
     def _batch_bucket(self, n: int) -> int:
         """Batch sizes round up like the other dims; beyond the largest
-        bucket, to its next multiple (compile count stays bounded)."""
+        bucket, to its next multiple (compile count stays bounded). Under a
+        mesh the result additionally rounds up to a multiple of the data-axis
+        size so every device holds an equal shard."""
         buckets = self.config.batch_buckets
+        bb = None
         for b in buckets:
             if n <= b:
-                return b
-        top = buckets[-1]
-        return -(-n // top) * top
+                bb = b
+                break
+        if bb is None:
+            top = buckets[-1]
+            bb = -(-n // top) * top
+        if self._ndev > 1:
+            bb = -(-bb // self._ndev) * self._ndev
+        return bb
 
-    def _executable(self, text_bucket: int, frame_budget: int, batch: int):
-        key = (text_bucket, frame_budget, batch)
+    def _put_batch(self, arr):
+        """Upload a batch-leading array, sharded over the mesh's data axis
+        when serving over a mesh (committed sharding: jit then partitions
+        the executable instead of replicating the batch)."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        return jax.device_put(jnp.asarray(arr), self._batch_sharding)
+
+    def _executable(self, text_bucket: int, frame_budget: int, batch: int,
+                    use_speaker: bool = False):
+        key = (text_bucket, frame_budget, batch, use_speaker)
         fn = self._compiled.get(key)
         if fn is None:
             steps = self.config.steps
@@ -150,12 +208,14 @@ class Synthesizer:
 
             @jax.jit
             def synth(state, tokens, lens, key, duration_factor, pitch_factor,
-                      pitch_delta):
+                      pitch_delta, energy_factor, energy_delta, speaker):
                 m = nnx.merge(graphdef, state)
                 mel, ad = m.infer(
                     tokens, text_lengths=lens, max_dec_len=frame_budget,
                     steps=steps, key=key, duration_factor=duration_factor,
                     pitch_factor=pitch_factor, pitch_delta=pitch_delta,
+                    energy_factor=energy_factor, energy_delta=energy_delta,
+                    speaker=speaker if use_speaker else None,
                     **self.config.extra_controls)
                 return mel, ad.dec_lengths
 
@@ -165,46 +225,61 @@ class Synthesizer:
     def warmup(self, batch_sizes: tuple = (1,)) -> None:
         """Pre-compile every (bucket, budget, batch) executable."""
         for b in batch_sizes:
+            b = self._batch_bucket(b)
             for tb in self.config.text_buckets:
                 for fb in self.config.frame_budgets:
-                    tokens = jnp.zeros((b, tb), jnp.int32)
-                    lens = jnp.full((b,), tb, jnp.int32)
+                    tokens = self._put_batch(np.zeros((b, tb), np.int32))
+                    lens = self._put_batch(np.full((b,), tb, np.int32))
+                    spk = self._put_batch(np.zeros((b,), np.int32))
                     self._executable(tb, fb, b)(
                         self._state, tokens, lens, jax.random.PRNGKey(0),
-                        1.0, 1.0, 0.0)
+                        1.0, 1.0, 0.0, 1.0, 0.0, spk)
         logger.info("synthesizer warm: %d executables", len(self._compiled))
 
     # -- serving -------------------------------------------------------------
 
     def __call__(self, text: str | list[str], seed: int = 0,
                  duration_factor: float = 1.0, pitch_factor: float = 1.0,
-                 pitch_delta: float = 0.0) -> list[np.ndarray]:
-        """Synthesize mel(s); returns a list of (frames, n_mels) arrays."""
-        mel, dec_lens = self._synthesize_mel(
-            text, seed, duration_factor, pitch_factor, pitch_delta)
-        return [mel[i, : int(dec_lens[i])] for i in range(mel.shape[0])]
+                 pitch_delta: float = 0.0, energy_factor: float = 1.0,
+                 energy_delta: float = 0.0,
+                 speaker: int | list[int] | None = None) -> list[np.ndarray]:
+        """Synthesize mel(s); returns a list of (frames, n_mels) arrays.
+
+        The full per-request control surface of the reference's notebook
+        serve path (inference.ipynb cells 23-25): duration/pitch/energy
+        factors+deltas and the speaker id (scalar, or one per text) — all
+        dynamic executable inputs, so no recompile per control change."""
+        mel, dec_lens, B = self._synthesize_mel(
+            text, seed, duration_factor, pitch_factor, pitch_delta,
+            energy_factor, energy_delta, speaker)
+        mel = np.asarray(mel)[:B]
+        return [mel[i, : int(dec_lens[i])] for i in range(B)]
 
     def synthesize_audio(self, text: str | list[str], seed: int = 0,
                          duration_factor: float = 1.0, pitch_factor: float = 1.0,
-                         pitch_delta: float = 0.0) -> list[np.ndarray]:
+                         pitch_delta: float = 0.0, energy_factor: float = 1.0,
+                         energy_delta: float = 0.0,
+                         speaker: int | list[int] | None = None) -> list[np.ndarray]:
         """Full text -> waveform serving path. With a neural vocoder attached
         the mel never leaves the device between the two executables; without
         one, falls back to on-device matmul Griffin-Lim. Returns float32
         waveforms clipped to +-1 (the reference's inference.ipynb cell 23
         contract)."""
-        mel, dec_lens = self._synthesize_mel(
-            text, seed, duration_factor, pitch_factor, pitch_delta)
-        B = mel.shape[0]
+        mel, dec_lens, B = self._synthesize_mel(
+            text, seed, duration_factor, pitch_factor, pitch_delta,
+            energy_factor, energy_delta, speaker)
         if self.vocoder is not None:
             hop = self.vocoder.features_config.hop_length
-            audio = np.asarray(self._vocode(self._voc_state, jnp.asarray(mel)))
+            # mel is already on device (batch-sharded under a mesh): the
+            # acoustic->vocoder hop never touches the host
+            audio = np.asarray(self._vocode(self._voc_state, mel))
         else:
             from .ops.vocoder import mel_to_audio_tpu
 
             geo = self._audio_geometry()
             hop = geo["hop_length"]
             audio = np.asarray(mel_to_audio_tpu(
-                jnp.asarray(mel), geo["sample_rate"], geo["n_fft"],
+                mel, geo["sample_rate"], geo["n_fft"],
                 geo["hop_length"], geo["win_length"], geo["f_min"],
                 geo["f_max"]))
         audio = np.clip(audio, -1.0, 1.0)
@@ -287,10 +362,17 @@ class Synthesizer:
 
     def _synthesize_mel(self, text: str | list[str], seed: int = 0,
                         duration_factor: float = 1.0, pitch_factor: float = 1.0,
-                        pitch_delta: float = 0.0):
+                        pitch_delta: float = 0.0, energy_factor: float = 1.0,
+                        energy_delta: float = 0.0,
+                        speaker: int | list[int] | None = None):
         """Bucketed mel synthesis; returns the PADDED (B, budget, n_mels)
         array + per-sample valid frame counts."""
         texts = [text] if isinstance(text, str) else list(text)
+        use_speaker = speaker is not None
+        if use_speaker and not self._has_speaker:
+            raise ValueError(
+                "speaker control given but the checkpoint has no "
+                "speaker_embedding (single-speaker model)")
         encoded = [self.text_provider(t) for t in texts]
         max_len = max(e.vector_len for e in encoded)
         tb = self._bucket(max_len, self.config.text_buckets)
@@ -314,14 +396,21 @@ class Synthesizer:
         for i, e in enumerate(encoded):
             tokens[i, : e.vector_len] = e.vector
             lens[i] = e.vector_len
+        spk = np.zeros((Bb,), np.int32)
+        if use_speaker:
+            ids = [speaker] * B if np.isscalar(speaker) else list(speaker)
+            if len(ids) != B:
+                raise ValueError(f"speaker list length {len(ids)} != batch {B}")
+            spk[:B] = ids
 
         budgets = self.config.frame_budgets
         while True:
-            fn = self._executable(tb, fb, Bb)
-            mel, dec_lens = fn(self._state, jnp.asarray(tokens),
-                               jnp.asarray(lens), jax.random.PRNGKey(seed),
+            fn = self._executable(tb, fb, Bb, use_speaker)
+            mel, dec_lens = fn(self._state, self._put_batch(tokens),
+                               self._put_batch(lens), jax.random.PRNGKey(seed),
                                float(duration_factor), float(pitch_factor),
-                               float(pitch_delta))
+                               float(pitch_delta), float(energy_factor),
+                               float(energy_delta), self._put_batch(spk))
             dec_lens = np.asarray(dec_lens)[:B]  # drop batch-pad rows
             # dec_lengths == budget means the adaptor CLAMPED the predicted
             # durations at the bucket (documented clamp in the adaptor): a
@@ -341,4 +430,7 @@ class Synthesizer:
                 break
             fb = self._bucket(fb + 1, budgets)
             logger.info("frame budget saturated; retrying at %d", fb)
-        return np.asarray(mel)[:B], dec_lens
+        # mel stays a (possibly mesh-sharded) device array at the PADDED
+        # batch: downstream vocoders consume it without a host round-trip,
+        # and shard divisibility is preserved; callers slice [:B] on host.
+        return mel, dec_lens, B

@@ -1,0 +1,327 @@
+"""Dynamic-batching TTS serving daemon.
+
+Production front door over :class:`~isp_tts_tpu.serving.Synthesizer`: an
+HTTP server whose concurrent requests are coalesced by a background batcher
+into ONE bucketed device call per window, so independent clients share the
+same compiled executable and the chip always sees batched work (the whole
+point of the bucketed serving design — single-row calls waste the MXU).
+
+The reference has no serving runtime at all (its serve path is a notebook
+cell, inference.ipynb cells 23-25); this is the deployment-shaped
+equivalent. Stdlib-only: ``http.server`` + ``threading`` + ``wave``.
+
+API
+---
+``POST /synthesize`` with JSON ``{"text": str | [str], "seed": int,
+"duration_factor": f, "pitch_factor": f, "pitch_delta": f,
+"energy_factor": f, "energy_delta": f, "speaker": int,
+"format": "wav" | "mel"}`` returns ``audio/wav`` (16-bit PCM) or an ``.npy``
+mel — the reference notebook's full per-request control surface
+(inference.ipynb cells 23-25). ``GET /healthz`` liveness + stats;
+``GET /stats`` batching counters.
+
+Requests inside one batching window are grouped by their control tuple
+(seed/factors must be batch-wide scalars in the compiled executable);
+each group becomes one device call.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import queue
+import threading
+import wave
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+logger = logging.getLogger("isp_tts_tpu")
+
+
+@dataclass
+class ServerConfig:
+    #: largest coalesced batch per device call (independent of the
+    #: synthesizer's batch buckets — those round the final shape)
+    max_batch: int = 32
+    #: how long the batcher waits for more requests after the first one
+    #: arrives. Latency floor for a lone request; amortized away under load.
+    max_wait_ms: float = 5.0
+    #: "wav" (16-bit PCM via the neural vocoder / Griffin-Lim) or "mel"
+    default_format: str = "wav"
+
+
+@dataclass
+class _Pending:
+    text: str
+    controls: tuple  # (seed, duration_factor, pitch_factor, pitch_delta, fmt)
+    done: threading.Event = field(default_factory=threading.Event)
+    result: bytes | None = None
+    content_type: str = "application/octet-stream"
+    error: str | None = None
+
+
+def encode_wav(audio: np.ndarray, sample_rate: int) -> bytes:
+    """float32 [-1, 1] -> 16-bit PCM WAV bytes (stdlib only)."""
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def encode_npy(arr: np.ndarray) -> bytes:
+    buf = io.BytesIO()
+    np.save(buf, arr)
+    return buf.getvalue()
+
+
+class TTSServer:
+    """HTTP serving daemon with request coalescing.
+
+    >>> server = TTSServer(synthesizer, port=0)   # 0 = ephemeral
+    >>> server.start()                            # returns the bound port
+    >>> ...                                       # POST /synthesize
+    >>> server.stop()
+    """
+
+    def __init__(self, synthesizer, host: str = "127.0.0.1", port: int = 8080,
+                 config: ServerConfig | None = None):
+        self.synthesizer = synthesizer
+        self.config = config or ServerConfig()
+        self._host, self._port = host, port
+        self._queue: queue.Queue = queue.Queue()
+        self._stats_lock = threading.Lock()
+        self.stats = {"requests": 0, "batches": 0, "errors": 0,
+                      "max_coalesced": 0}
+        self._httpd: ThreadingHTTPServer | None = None
+        self._threads: list[threading.Thread] = []
+        self._stopping = False
+        sr = (synthesizer.vocoder.features_config.sample_rate
+              if synthesizer.vocoder is not None
+              else synthesizer._audio_geometry()["sample_rate"])
+        self._sample_rate = int(sr)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> int:
+        """Bind, spawn the batcher + HTTP threads, return the bound port."""
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer((self._host, self._port), handler)
+        self._port = self._httpd.server_address[1]
+        self._stopping = False
+        batcher = threading.Thread(target=self._batch_loop,
+                                   name="tts-batcher", daemon=True)
+        serving = threading.Thread(target=self._httpd.serve_forever,
+                                   name="tts-http", daemon=True)
+        self._threads = [batcher, serving]
+        batcher.start()
+        serving.start()
+        logger.info("TTS server on %s:%d (max_batch=%d, window=%.1fms)",
+                    self._host, self._port, self.config.max_batch,
+                    self.config.max_wait_ms)
+        return self._port
+
+    def stop(self) -> None:
+        self._stopping = True
+        self._queue.put(None)  # wake the batcher
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        for t in self._threads:
+            t.join(timeout=10)
+        self._threads = []
+
+    @property
+    def port(self) -> int:
+        return self._port
+
+    # -- request intake (called from HTTP handler threads) --------------------
+
+    def submit(self, text: str, seed: int = 0, duration_factor: float = 1.0,
+               pitch_factor: float = 1.0, pitch_delta: float = 0.0,
+               energy_factor: float = 1.0, energy_delta: float = 0.0,
+               speaker: int | None = None, fmt: str | None = None,
+               timeout: float = 120.0) -> _Pending:
+        fmt = fmt or self.config.default_format
+        if fmt not in ("wav", "mel"):
+            raise ValueError(f"unknown format {fmt!r} (wav|mel)")
+        req = _Pending(text=text, controls=(
+            int(seed), float(duration_factor), float(pitch_factor),
+            float(pitch_delta), float(energy_factor), float(energy_delta),
+            None if speaker is None else int(speaker), fmt))
+        with self._stats_lock:
+            self.stats["requests"] += 1
+        self._queue.put(req)
+        if not req.done.wait(timeout):
+            req.error = "synthesis timed out"
+        return req
+
+    # -- the batcher -----------------------------------------------------------
+
+    def _batch_loop(self) -> None:
+        import time
+
+        while not self._stopping:
+            try:
+                first = self._queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if first is None:
+                continue
+            window = [first]
+            deadline = time.monotonic() + self.config.max_wait_ms / 1e3
+            while len(window) < self.config.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    break
+                window.append(nxt)
+            # one device call per distinct control tuple in the window
+            groups: dict[tuple, list[_Pending]] = {}
+            for r in window:
+                groups.setdefault(r.controls, []).append(r)
+            for controls, reqs in groups.items():
+                self._run_group(controls, reqs)
+
+    def _run_group(self, controls: tuple, reqs: list[_Pending]) -> None:
+        seed, df, pf, pd, ef, ed, speaker, fmt = controls
+        texts = [r.text for r in reqs]
+        kwargs = dict(seed=seed, duration_factor=df, pitch_factor=pf,
+                      pitch_delta=pd, energy_factor=ef, energy_delta=ed,
+                      speaker=speaker)
+        try:
+            if fmt == "wav":
+                outs = self.synthesizer.synthesize_audio(texts, **kwargs)
+                payloads = [encode_wav(o, self._sample_rate) for o in outs]
+                ctype = "audio/wav"
+            else:
+                outs = self.synthesizer(texts, **kwargs)
+                payloads = [encode_npy(o) for o in outs]
+                ctype = "application/x-npy"
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["max_coalesced"] = max(
+                    self.stats["max_coalesced"], len(reqs))
+            for r, p in zip(reqs, payloads):
+                r.result, r.content_type = p, ctype
+        except Exception as e:  # noqa: BLE001 — served as HTTP 500, not crash
+            logger.exception("batch of %d failed", len(reqs))
+            with self._stats_lock:
+                self.stats["errors"] += len(reqs)
+            for r in reqs:
+                r.error = f"{type(e).__name__}: {e}"
+        finally:
+            for r in reqs:
+                r.done.set()
+
+
+def _make_handler(server: TTSServer):
+    class Handler(BaseHTTPRequestHandler):
+        # route logging through the framework logger, not stderr
+        def log_message(self, fmt, *args):  # noqa: A003
+            logger.debug("http: " + fmt, *args)
+
+        def _json(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path in ("/healthz", "/stats"):
+                with server._stats_lock:
+                    stats = dict(server.stats)
+                self._json(200, {"ok": True, "stats": stats})
+            else:
+                self._json(404, {"ok": False, "error": "not found"})
+
+        def do_POST(self):  # noqa: N802
+            if self.path != "/synthesize":
+                self._json(404, {"ok": False, "error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                text = payload["text"]
+                if isinstance(text, list):
+                    text = " ".join(text)
+                if not isinstance(text, str) or not text.strip():
+                    raise ValueError("'text' must be a non-empty string")
+                speaker = payload.get("speaker")
+                req = server.submit(
+                    text,
+                    seed=payload.get("seed", 0),
+                    duration_factor=payload.get("duration_factor", 1.0),
+                    pitch_factor=payload.get("pitch_factor", 1.0),
+                    pitch_delta=payload.get("pitch_delta", 0.0),
+                    energy_factor=payload.get("energy_factor", 1.0),
+                    energy_delta=payload.get("energy_delta", 0.0),
+                    speaker=None if speaker is None else int(speaker),
+                    fmt=payload.get("format"),
+                )
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                self._json(400, {"ok": False, "error": str(e)})
+                return
+            if req.error is not None:
+                self._json(500, {"ok": False, "error": req.error})
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", req.content_type)
+            self.send_header("Content-Length", str(len(req.result)))
+            self.end_headers()
+            self.wfile.write(req.result)
+
+    return Handler
+
+
+def main(argv=None) -> None:
+    """``python -m isp_tts_tpu.serving_server --checkpoint ckpt [--vocoder v]``"""
+    import argparse
+
+    from .serving import Synthesizer, SynthesizerConfig
+
+    p = argparse.ArgumentParser(description="isp_tts_tpu serving daemon")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--vocoder", default=None,
+                   help="optional VocoderModel checkpoint / torch Vocos file")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=32)
+    p.add_argument("--max-wait-ms", type=float, default=5.0)
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile every bucket before accepting traffic")
+    args = p.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    synth = Synthesizer.from_pretrained(
+        args.checkpoint, SynthesizerConfig(steps=args.steps),
+        vocoder_path=args.vocoder)
+    if args.warmup:
+        synth.warmup(batch_sizes=(1, args.max_batch))
+    server = TTSServer(synth, host=args.host, port=args.port,
+                       config=ServerConfig(max_batch=args.max_batch,
+                                           max_wait_ms=args.max_wait_ms))
+    port = server.start()
+    logger.info("serving on http://%s:%d — POST /synthesize", args.host, port)
+    try:
+        threading.Event().wait()  # serve until interrupted
+    except KeyboardInterrupt:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

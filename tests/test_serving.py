@@ -89,8 +89,8 @@ def test_synthesizer_rebuckets_on_frame_budget_saturation(synthesizer, caplog):
     calls = []
     real = synthesizer._executable
 
-    def stub_executable(tb, fb, batch):
-        def run(state, tokens, lens, key, df, pf, pd):
+    def stub_executable(tb, fb, batch, use_speaker=False):
+        def run(state, tokens, lens, key, df, pf, pd, ef, ed, spk):
             calls.append(fb)
             dec = fb if fb < 128 else 100  # saturate 64, fit in 128
             return (jnp.zeros((batch, fb, 16), jnp.float32),
@@ -111,8 +111,8 @@ def test_synthesizer_rebuckets_on_frame_budget_saturation(synthesizer, caplog):
     # saturating the LARGEST bucket warns instead of looping
     calls.clear()
 
-    def stub_saturate_all(tb, fb, batch):
-        def run(state, tokens, lens, key, df, pf, pd):
+    def stub_saturate_all(tb, fb, batch, use_speaker=False):
+        def run(state, tokens, lens, key, df, pf, pd, ef, ed, spk):
             calls.append(fb)
             return (jnp.zeros((batch, fb, 16), jnp.float32),
                     jnp.full((batch,), fb, jnp.int32))
@@ -225,8 +225,8 @@ def test_batch_dim_buckets(synthesizer):
     seen = []
     real = synthesizer._executable
 
-    def stub(tb, fb, batch):
-        def run(state, tokens, lens, key, df, pf, pd):
+    def stub(tb, fb, batch, use_speaker=False):
+        def run(state, tokens, lens, key, df, pf, pd, ef, ed, spk):
             seen.append((batch, tokens.shape[0], int(lens.min())))
             return (jnp.zeros((batch, fb, 16), jnp.float32),
                     jnp.full((batch,), 10, jnp.int32))
@@ -304,6 +304,97 @@ def test_vocoder_contract_mismatch_warns(caplog):
             charset=tuple(charset)), vocoder=VocoderModel(voc_cfg2,
                                                           rngs=nnx.Rngs(1)))
     assert not any("mel contract" in r.message for r in caplog.records)
+
+
+def test_per_request_controls_speaker_and_energy():
+    """The reference notebook's full control surface (inference.ipynb cells
+    23-25) is per-request and dynamic: speaker ids and energy factor/delta
+    change outputs WITHOUT compiling a new executable; a speaker control on
+    a single-speaker checkpoint is rejected loudly; speaker=None on a
+    multi-speaker model is the distinct no-speaker-embedding path."""
+    from isp_tts_tpu.data.text.table import CodingTable
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    cfg_dict = dict(TINY, encoding_map=dict(ct.encoding_map), num_speakers=3)
+    model = AcousticModel(build_config(AcousticModelConfig, cfg_dict),
+                          rngs=nnx.Rngs(0))
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=4.0,
+        steps=1, charset=tuple(charset)))
+
+    a = synth("hello there.", seed=3, speaker=0)[0]
+    n = len(synth._compiled)
+    b = synth("hello there.", seed=3, speaker=2)[0]
+    assert len(synth._compiled) == n  # dynamic control: no recompile
+    assert a.shape != b.shape or not np.allclose(a, b)
+
+    # speaker list per text; scalar broadcast
+    multi = synth(["one.", "two."], seed=1, speaker=[1, 2])
+    assert len(multi) == 2
+    with pytest.raises(ValueError):
+        synth(["one.", "two."], speaker=[1, 2, 3])
+
+    # no speaker -> its own executable (the no-speaker-embedding path)
+    c = synth("hello there.", seed=3)[0]
+    assert np.isfinite(c).all()
+
+    # energy controls are dynamic too: same no-speaker executable, no
+    # recompile (numerics of energy conditioning are covered by the
+    # adaptor tests)
+    n = len(synth._compiled)
+    e = synth("hello there.", seed=3, energy_factor=1.5, energy_delta=0.2)[0]
+    assert len(synth._compiled) == n and np.isfinite(e).all()
+
+    # single-speaker checkpoint rejects the control
+    model1 = AcousticModel(build_config(AcousticModelConfig, dict(
+        TINY, encoding_map=dict(ct.encoding_map))), rngs=nnx.Rngs(0))
+    synth1 = Synthesizer(model1, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), steps=1,
+        charset=tuple(charset)))
+    with pytest.raises(ValueError, match="speaker"):
+        synth1("hi.", speaker=1)
+
+    # dynamic controls are rejected in static extra_controls
+    with pytest.raises(ValueError, match="dynamic"):
+        Synthesizer(model, SynthesizerConfig(
+            text_buckets=(16,), frame_budgets=(64,), steps=1,
+            charset=tuple(charset), extra_controls={"speaker": 1}))
+
+
+def test_mesh_serving_matches_single_device(synthesizer):
+    """Data-parallel serving over a Mesh: weights replicate, the batch dim
+    shards over the 'data' axis, and results match the unsharded path. Batch
+    buckets must round up to multiples of the axis size so shards are equal,
+    and the sharded executable must actually consume sharded operands."""
+    from jax.sharding import PartitionSpec
+
+    from isp_tts_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=-1, model=1)  # 8-device virtual CPU mesh
+    msynth = Synthesizer(synthesizer.model, SynthesizerConfig(
+        text_buckets=(16, 32), frame_budgets=(64, 128), frames_per_token=4.0,
+        steps=2, charset=("<pad>", "</s>", "#punct", "#en")), mesh=mesh)
+
+    # batch bucketing honors the axis size
+    assert msynth._batch_bucket(1) == 8
+    assert msynth._batch_bucket(9) == 16
+    # weights replicated, batch inputs sharded
+    tok = msynth._put_batch(np.zeros((8, 16), np.int32))
+    assert tok.sharding.spec == PartitionSpec("data")
+
+    texts = ["hello there.", "tiny.", "third one here.", "four!"]
+    want = synthesizer(texts, seed=5)
+    got = msynth(texts, seed=5)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g.shape == w.shape  # identical dec_lengths
+        np.testing.assert_allclose(g, w, atol=2e-5)
+
+    # audio path: the padded (shard-divisible) mel feeds Griffin-Lim without
+    # a host round-trip; real rows come back finite and sliced
+    wavs = msynth.synthesize_audio(texts[:2], seed=5)
+    assert len(wavs) == 2 and all(np.isfinite(w).all() for w in wavs)
 
 
 def test_synthesizer_bf16_weights_close_to_f32():

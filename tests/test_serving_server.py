@@ -1,0 +1,173 @@
+"""Dynamic-batching serving daemon tests (stdlib HTTP client, tiny model)."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from isp_tts_tpu.config import build_config
+from isp_tts_tpu.models.acoustic.model import AcousticModel, AcousticModelConfig
+from isp_tts_tpu.serving import Synthesizer, SynthesizerConfig
+from isp_tts_tpu.serving_server import (ServerConfig, TTSServer, encode_wav)
+
+from test_serving import TINY
+
+
+@pytest.fixture(scope="module")
+def server():
+    from isp_tts_tpu.data.text.table import CodingTable
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    cfg_dict = dict(TINY, encoding_map=dict(ct.encoding_map))
+    model = AcousticModel(build_config(AcousticModelConfig, cfg_dict),
+                          rngs=nnx.Rngs(0))
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16, 32), frame_budgets=(64,), frames_per_token=3.0,
+        steps=1, charset=tuple(charset)))
+    srv = TTSServer(synth, port=0, config=ServerConfig(
+        max_batch=8, max_wait_ms=400.0, default_format="mel"))
+    port = srv.start()
+    yield srv, port
+    srv.stop()
+
+
+def _post(port, payload, path="/synthesize"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        return resp.status, resp.headers.get("Content-Type"), resp.read()
+
+
+def test_healthz(server):
+    _, port = server
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz",
+                                timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert resp.status == 200 and body["ok"] is True
+    assert set(body["stats"]) >= {"requests", "batches", "max_coalesced"}
+
+
+def test_single_request_mel(server):
+    _, port = server
+    status, ctype, body = _post(port, {"text": "hello world."})
+    assert status == 200 and ctype == "application/x-npy"
+    mel = np.load(io.BytesIO(body))
+    assert mel.ndim == 2 and mel.shape[1] == 16 and np.isfinite(mel).all()
+
+
+def test_wav_format(server):
+    _, port = server
+    status, ctype, body = _post(port, {"text": "hi there.", "format": "wav"})
+    assert status == 200 and ctype == "audio/wav"
+    with wave.open(io.BytesIO(body)) as w:
+        assert w.getframerate() == 22050
+        assert w.getsampwidth() == 2 and w.getnchannels() == 1
+        assert w.getnframes() > 0
+
+
+def test_concurrent_requests_coalesce_into_one_batch(server):
+    """N clients inside one batching window must share ONE device call:
+    batches advances by less than requests, and max_coalesced > 1."""
+    srv, port = server
+    # settle in-flight state and warm the bucket so the window isn't
+    # dominated by a compile
+    _post(port, {"text": "warm."})
+    with srv._stats_lock:
+        before = dict(srv.stats)
+
+    results, errs = [], []
+
+    def call(i):
+        try:
+            results.append(_post(port, {"text": f"request number {i}."}))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs and len(results) == 6
+    assert all(s == 200 for s, _, _ in results)
+    with srv._stats_lock:
+        after = dict(srv.stats)
+    assert after["requests"] - before["requests"] == 6
+    n_batches = after["batches"] - before["batches"]
+    assert n_batches < 6, f"no coalescing: {n_batches} batches for 6 requests"
+    assert after["max_coalesced"] > 1
+
+
+def test_distinct_controls_are_separate_device_calls(server):
+    """Controls are batch-wide scalars in the compiled executable, so
+    requests with different seeds cannot share a call — but both succeed."""
+    srv, port = server
+    with srv._stats_lock:
+        before = srv.stats["batches"]
+    results = []
+
+    def call(seed):
+        results.append(_post(port, {"text": "same text.", "seed": seed}))
+
+    threads = [threading.Thread(target=call, args=(s,)) for s in (1, 2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert all(s == 200 for s, _, _ in results)
+    with srv._stats_lock:
+        assert srv.stats["batches"] - before >= 2
+
+
+def test_bad_requests(server):
+    _, port = server
+    for payload in ({}, {"text": ""}, {"text": "ok.", "format": "ogg"}):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(port, payload)
+        assert exc.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(port, {"text": "x."}, path="/nope")
+    assert exc.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=30)
+    assert exc.value.code == 404
+
+
+def test_synthesis_error_is_http_500(server):
+    """A failing device call surfaces as HTTP 500 on every coalesced
+    request, and the server stays alive."""
+    srv, port = server
+    real = srv.synthesizer._synthesize_mel
+
+    def boom(*a, **k):
+        raise RuntimeError("injected failure")
+
+    srv.synthesizer._synthesize_mel = boom
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(port, {"text": "will fail."})
+        assert exc.value.code == 500
+        assert "injected failure" in json.loads(exc.value.read())["error"]
+    finally:
+        srv.synthesizer._synthesize_mel = real
+    status, _, _ = _post(port, {"text": "alive again."})
+    assert status == 200
+
+
+def test_encode_wav_roundtrip():
+    sr = 16000
+    audio = np.sin(np.linspace(0, 100, 1600)).astype(np.float32) * 0.5
+    data = encode_wav(audio, sr)
+    with wave.open(io.BytesIO(data)) as w:
+        assert w.getframerate() == sr and w.getnframes() == 1600
+        pcm = np.frombuffer(w.readframes(1600), "<i2").astype(np.float32)
+    np.testing.assert_allclose(pcm / 32767.0, audio, atol=1e-4)

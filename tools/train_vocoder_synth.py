@@ -142,15 +142,10 @@ def save_tts_sample(trainer, acoustic_ckpt: str, assets: Path, sr: int):
     text = "pame tizo kuve lasi."  # in-domain for the synthetic charset
     synth = Synthesizer.from_pretrained(
         acoustic_ckpt,
-        SynthesizerConfig(text_buckets=(64,), frame_budgets=(512,),
-                          extra_controls={"speaker": jnp.asarray([1], jnp.int32)}),
+        SynthesizerConfig(text_buckets=(64,), frame_budgets=(512,)),
         vocoder_path=None)
-    synth.vocoder = trainer.model
-    trainer.model.eval()
-    from flax import nnx
-
-    synth._voc_graphdef, synth._voc_state = nnx.split(trainer.model)
-    wavs = synth.synthesize_audio(text)
+    synth.attach_vocoder(trainer.model)
+    wavs = synth.synthesize_audio(text, speaker=1)
     from isp_tts_tpu.data.audio import write_wav
 
     write_wav(assets / "tts_sample.wav",
