@@ -223,7 +223,11 @@ class Synthesizer:
         return fn
 
     def warmup(self, batch_sizes: tuple = (1,)) -> None:
-        """Pre-compile every (bucket, budget, batch) executable."""
+        """Pre-compile every (bucket, budget, batch) executable — including
+        the speaker-control variant on multi-speaker checkpoints (it is part
+        of the compile-cache key; without this a daemon's first
+        speaker-carrying request would stall on a full XLA compile)."""
+        variants = (False, True) if self._has_speaker else (False,)
         for b in batch_sizes:
             b = self._batch_bucket(b)
             for tb in self.config.text_buckets:
@@ -231,9 +235,10 @@ class Synthesizer:
                     tokens = self._put_batch(np.zeros((b, tb), np.int32))
                     lens = self._put_batch(np.full((b,), tb, np.int32))
                     spk = self._put_batch(np.zeros((b,), np.int32))
-                    self._executable(tb, fb, b)(
-                        self._state, tokens, lens, jax.random.PRNGKey(0),
-                        1.0, 1.0, 0.0, 1.0, 0.0, spk)
+                    for use_speaker in variants:
+                        self._executable(tb, fb, b, use_speaker)(
+                            self._state, tokens, lens, jax.random.PRNGKey(0),
+                            1.0, 1.0, 0.0, 1.0, 0.0, spk)
         logger.info("synthesizer warm: %d executables", len(self._compiled))
 
     # -- serving -------------------------------------------------------------

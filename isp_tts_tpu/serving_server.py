@@ -12,17 +12,25 @@ equivalent. Stdlib-only: ``http.server`` + ``threading`` + ``wave``.
 
 API
 ---
-``POST /synthesize`` with JSON ``{"text": str | [str], "seed": int,
+``POST /synthesize`` with JSON ``{"text": str, "seed": int,
 "duration_factor": f, "pitch_factor": f, "pitch_delta": f,
 "energy_factor": f, "energy_delta": f, "speaker": int,
 "format": "wav" | "mel"}`` returns ``audio/wav`` (16-bit PCM) or an ``.npy``
 mel — the reference notebook's full per-request control surface
-(inference.ipynb cells 23-25). ``GET /healthz`` liveness + stats;
+(inference.ipynb cells 23-25). One utterance per request: batching happens
+across requests, not within one. ``GET /healthz`` liveness + stats;
 ``GET /stats`` batching counters.
 
 Requests inside one batching window are grouped by their control tuple
 (seed/factors must be batch-wide scalars in the compiled executable);
 each group becomes one device call.
+
+Determinism caveat: a fixed ``seed`` pins the sampled noise for a fixed
+batch SHAPE. Coalescing can change the text bucket / batch bucket / row
+index of a request depending on what shares its window, which changes the
+noise draw — so seeded outputs are reproducible run-to-run only when the
+batch composition is too (as in the reference, where the noise is likewise
+drawn over the whole padded batch).
 """
 
 from __future__ import annotations
@@ -51,12 +59,22 @@ class ServerConfig:
     max_wait_ms: float = 5.0
     #: "wav" (16-bit PCM via the neural vocoder / Griffin-Lim) or "mel"
     default_format: str = "wav"
+    #: per-request wall-clock budget. Must cover a cold XLA compile when the
+    #: daemon runs without --warmup (multi-minute on a 1-core host); warmed
+    #: daemons can set this to a few seconds.
+    request_timeout_s: float = 600.0
 
 
 @dataclass
 class _Pending:
     text: str
-    controls: tuple  # (seed, duration_factor, pitch_factor, pitch_delta, fmt)
+    #: (seed, duration_factor, pitch_factor, pitch_delta, energy_factor,
+    #:  energy_delta, speaker, fmt) — one device call per distinct tuple.
+    #: fmt is deliberately part of the key: the wav path keeps the mel on
+    #: device between the acoustic and vocoder executables, so deduping a
+    #: mixed wav+mel group would force a host round-trip on the common
+    #: all-wav case to serve the rare mixed one.
+    controls: tuple
     done: threading.Event = field(default_factory=threading.Event)
     result: bytes | None = None
     content_type: str = "application/octet-stream"
@@ -130,6 +148,20 @@ class TTSServer:
     def stop(self) -> None:
         self._stopping = True
         self._queue.put(None)  # wake the batcher
+        batcher = next((t for t in self._threads
+                        if t.name == "tts-batcher"), None)
+        if batcher is not None:
+            batcher.join(timeout=30)
+        # fail anything still queued so blocked handler threads respond
+        # promptly instead of sitting out the full request timeout
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if req is not None:
+                req.error = "server shutting down"
+                req.done.set()
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
@@ -147,7 +179,8 @@ class TTSServer:
                pitch_factor: float = 1.0, pitch_delta: float = 0.0,
                energy_factor: float = 1.0, energy_delta: float = 0.0,
                speaker: int | None = None, fmt: str | None = None,
-               timeout: float = 120.0) -> _Pending:
+               timeout: float | None = None) -> _Pending:
+        timeout = self.config.request_timeout_s if timeout is None else timeout
         fmt = fmt or self.config.default_format
         if fmt not in ("wav", "mel"):
             raise ValueError(f"unknown format {fmt!r} (wav|mel)")
@@ -255,11 +288,14 @@ def _make_handler(server: TTSServer):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
                 text = payload["text"]
-                if isinstance(text, list):
-                    text = " ".join(text)
                 if not isinstance(text, str) or not text.strip():
-                    raise ValueError("'text' must be a non-empty string")
+                    # one utterance per request — batching happens ACROSS
+                    # requests (the coalescing window), not within one
+                    raise ValueError("'text' must be a non-empty string "
+                                     "(one utterance per request)")
                 speaker = payload.get("speaker")
                 req = server.submit(
                     text,
@@ -272,7 +308,8 @@ def _make_handler(server: TTSServer):
                     speaker=None if speaker is None else int(speaker),
                     fmt=payload.get("format"),
                 )
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"ok": False, "error": str(e)})
                 return
             if req.error is not None:

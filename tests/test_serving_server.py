@@ -130,10 +130,17 @@ def test_distinct_controls_are_separate_device_calls(server):
 
 def test_bad_requests(server):
     _, port = server
-    for payload in ({}, {"text": ""}, {"text": "ok.", "format": "ogg"}):
+    for payload in ({}, {"text": ""}, {"text": "ok.", "format": "ogg"},
+                    # wrong-typed fields must be HTTP 400, not a dropped
+                    # connection: list text (one utterance per request),
+                    # non-numeric controls, non-object body
+                    {"text": ["a.", "b."]},
+                    {"text": "ok.", "speaker": [1]},
+                    {"text": "ok.", "duration_factor": None},
+                    [1, 2]):
         with pytest.raises(urllib.error.HTTPError) as exc:
             _post(port, payload)
-        assert exc.value.code == 400
+        assert exc.value.code == 400, f"payload {payload!r}"
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(port, {"text": "x."}, path="/nope")
     assert exc.value.code == 404
@@ -161,6 +168,54 @@ def test_synthesis_error_is_http_500(server):
         srv.synthesizer._synthesize_mel = real
     status, _, _ = _post(port, {"text": "alive again."})
     assert status == 200
+
+
+def test_stop_fails_queued_requests_promptly():
+    """stop() must fail anything still queued so handler threads don't sit
+    out the full request timeout against a dead batcher."""
+    from isp_tts_tpu.serving_server import _Pending
+
+    srv = TTSServer.__new__(TTSServer)  # no model needed for this path
+    import queue as _q
+    import threading as _t
+
+    srv._queue = _q.Queue()
+    srv._threads = []
+    srv._httpd = None
+    srv._stopping = False
+    pending = _Pending(text="never served.", controls=(0,))
+    srv._queue.put(pending)
+    srv.stop()
+    assert pending.done.is_set()
+    assert pending.error == "server shutting down"
+
+
+def test_warmup_covers_speaker_variant():
+    """warmup() must pre-compile BOTH executable variants on a multi-speaker
+    checkpoint (use_speaker is part of the compile key) — otherwise a
+    daemon's first speaker-carrying request stalls on a cold compile."""
+    from isp_tts_tpu.data.text.table import CodingTable
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    model = AcousticModel(build_config(AcousticModelConfig, dict(
+        TINY, encoding_map=dict(ct.encoding_map), num_speakers=2)),
+        rngs=nnx.Rngs(0))
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), steps=1,
+        charset=tuple(charset)))
+    synth.warmup(batch_sizes=(1,))
+    keys = set(synth._compiled)
+    assert (16, 64, 1, False) in keys and (16, 64, 1, True) in keys
+
+    # single-speaker: only the no-speaker variant exists
+    model1 = AcousticModel(build_config(AcousticModelConfig, dict(
+        TINY, encoding_map=dict(ct.encoding_map))), rngs=nnx.Rngs(0))
+    synth1 = Synthesizer(model1, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), steps=1,
+        charset=tuple(charset)))
+    synth1.warmup(batch_sizes=(1,))
+    assert set(synth1._compiled) == {(16, 64, 1, False)}
 
 
 def test_encode_wav_roundtrip():

@@ -137,8 +137,6 @@ def save_tts_sample(trainer, acoustic_ckpt: str, assets: Path, sr: int):
     """Full pipeline: text -> acoustic checkpoint -> trained vocoder -> wav."""
     from isp_tts_tpu.serving import Synthesizer, SynthesizerConfig
 
-    import jax.numpy as jnp
-
     text = "pame tizo kuve lasi."  # in-domain for the synthetic charset
     synth = Synthesizer.from_pretrained(
         acoustic_ckpt,
