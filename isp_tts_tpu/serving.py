@@ -21,6 +21,15 @@ from flax import nnx
 logger = logging.getLogger("isp_tts_tpu")
 
 
+def split_sentences(text: str) -> list[str]:
+    """Sentence split for long-form synthesis (shared by
+    ``Synthesizer.synthesize_long`` and the daemon's streaming endpoint)."""
+    import re
+
+    return [p.strip() for p in
+            re.split(r"(?<=[.!?…])\s+", text.strip()) if p.strip()]
+
+
 def cast_float_state(state, dtype):
     """Cast float leaves of an nnx state to ``dtype`` (serving-time weight
     compression; integer/bool/PRNG leaves pass through untouched)."""
@@ -297,10 +306,7 @@ class Synthesizer:
         length, so arbitrarily long inputs never exceed the text buckets),
         and stitch the waveforms with ``pause_s`` of silence. Returns one
         float32 waveform."""
-        import re
-
-        parts = [p.strip() for p in
-                 re.split(r"(?<=[.!?…])\s+", text.strip()) if p.strip()]
+        parts = split_sentences(text)
         if not parts:
             raise ValueError("empty text")
         wavs = self.synthesize_audio(parts, seed=seed, **controls)

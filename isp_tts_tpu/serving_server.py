@@ -15,11 +15,15 @@ API
 ``POST /synthesize`` with JSON ``{"text": str, "seed": int,
 "duration_factor": f, "pitch_factor": f, "pitch_delta": f,
 "energy_factor": f, "energy_delta": f, "speaker": int,
-"format": "wav" | "mel"}`` returns ``audio/wav`` (16-bit PCM) or an ``.npy``
-mel — the reference notebook's full per-request control surface
-(inference.ipynb cells 23-25). One utterance per request: batching happens
-across requests, not within one. ``GET /healthz`` liveness + stats;
-``GET /stats`` batching counters.
+"format": "wav" | "mel" | "pcm"}`` returns ``audio/wav`` (16-bit PCM), an
+``.npy`` mel, or raw ``audio/L16`` PCM — the reference notebook's full
+per-request control surface (inference.ipynb cells 23-25). One utterance
+per request: batching happens across requests, not within one.
+``POST /synthesize_long`` streams a whole document as chunked raw PCM:
+the first sentence synthesizes alone (time-to-first-audio = one sentence's
+latency), the rest coalesce into one batched call while the head chunk is
+already playing. ``GET /healthz`` liveness + stats; ``GET /stats``
+batching counters.
 
 Requests inside one batching window are grouped by their control tuple
 (seed/factors must be batch-wide scalars in the compiled executable);
@@ -81,15 +85,19 @@ class _Pending:
     error: str | None = None
 
 
+def encode_pcm(audio: np.ndarray) -> bytes:
+    """float32 [-1, 1] -> raw 16-bit little-endian PCM bytes."""
+    return (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+
 def encode_wav(audio: np.ndarray, sample_rate: int) -> bytes:
     """float32 [-1, 1] -> 16-bit PCM WAV bytes (stdlib only)."""
-    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(encode_pcm(audio))
     return buf.getvalue()
 
 
@@ -175,15 +183,17 @@ class TTSServer:
 
     # -- request intake (called from HTTP handler threads) --------------------
 
-    def submit(self, text: str, seed: int = 0, duration_factor: float = 1.0,
-               pitch_factor: float = 1.0, pitch_delta: float = 0.0,
-               energy_factor: float = 1.0, energy_delta: float = 0.0,
-               speaker: int | None = None, fmt: str | None = None,
-               timeout: float | None = None) -> _Pending:
-        timeout = self.config.request_timeout_s if timeout is None else timeout
+    def enqueue(self, text: str, seed: int = 0, duration_factor: float = 1.0,
+                pitch_factor: float = 1.0, pitch_delta: float = 0.0,
+                energy_factor: float = 1.0, energy_delta: float = 0.0,
+                speaker: int | None = None,
+                fmt: str | None = None) -> _Pending:
+        """Queue a request WITHOUT waiting (used by the streaming endpoint
+        to let several sentences share one batching window); wait on
+        ``req.done`` yourself."""
         fmt = fmt or self.config.default_format
-        if fmt not in ("wav", "mel"):
-            raise ValueError(f"unknown format {fmt!r} (wav|mel)")
+        if fmt not in ("wav", "mel", "pcm"):
+            raise ValueError(f"unknown format {fmt!r} (wav|mel|pcm)")
         req = _Pending(text=text, controls=(
             int(seed), float(duration_factor), float(pitch_factor),
             float(pitch_delta), float(energy_factor), float(energy_delta),
@@ -191,6 +201,12 @@ class TTSServer:
         with self._stats_lock:
             self.stats["requests"] += 1
         self._queue.put(req)
+        return req
+
+    def submit(self, text: str, timeout: float | None = None,
+               **controls) -> _Pending:
+        timeout = self.config.request_timeout_s if timeout is None else timeout
+        req = self.enqueue(text, **controls)
         if not req.done.wait(timeout):
             req.error = "synthesis timed out"
         return req
@@ -238,6 +254,10 @@ class TTSServer:
                 outs = self.synthesizer.synthesize_audio(texts, **kwargs)
                 payloads = [encode_wav(o, self._sample_rate) for o in outs]
                 ctype = "audio/wav"
+            elif fmt == "pcm":
+                outs = self.synthesizer.synthesize_audio(texts, **kwargs)
+                payloads = [encode_pcm(o) for o in outs]
+                ctype = f"audio/L16; rate={self._sample_rate}; channels=1"
             else:
                 outs = self.synthesizer(texts, **kwargs)
                 payloads = [encode_npy(o) for o in outs]
@@ -281,33 +301,43 @@ def _make_handler(server: TTSServer):
             else:
                 self._json(404, {"ok": False, "error": "not found"})
 
+        def _parse(self):
+            """Read + validate the JSON body; returns (text, controls)."""
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            if not isinstance(payload, dict):
+                raise ValueError("body must be a JSON object")
+            text = payload["text"]
+            if not isinstance(text, str) or not text.strip():
+                # one utterance per request — batching happens ACROSS
+                # requests (the coalescing window), not within one
+                raise ValueError("'text' must be a non-empty string "
+                                 "(one utterance per request)")
+            speaker = payload.get("speaker")
+            controls = dict(
+                seed=payload.get("seed", 0),
+                duration_factor=payload.get("duration_factor", 1.0),
+                pitch_factor=payload.get("pitch_factor", 1.0),
+                pitch_delta=payload.get("pitch_delta", 0.0),
+                energy_factor=payload.get("energy_factor", 1.0),
+                energy_delta=payload.get("energy_delta", 0.0),
+                speaker=None if speaker is None else int(speaker),
+            )
+            return payload, text, controls
+
         def do_POST(self):  # noqa: N802
-            if self.path != "/synthesize":
+            if self.path == "/synthesize":
+                self._synthesize()
+            elif self.path == "/synthesize_long":
+                self._synthesize_long()
+            else:
                 self._json(404, {"ok": False, "error": "not found"})
-                return
+
+        def _synthesize(self):
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                payload = json.loads(self.rfile.read(length) or b"{}")
-                if not isinstance(payload, dict):
-                    raise ValueError("body must be a JSON object")
-                text = payload["text"]
-                if not isinstance(text, str) or not text.strip():
-                    # one utterance per request — batching happens ACROSS
-                    # requests (the coalescing window), not within one
-                    raise ValueError("'text' must be a non-empty string "
-                                     "(one utterance per request)")
-                speaker = payload.get("speaker")
-                req = server.submit(
-                    text,
-                    seed=payload.get("seed", 0),
-                    duration_factor=payload.get("duration_factor", 1.0),
-                    pitch_factor=payload.get("pitch_factor", 1.0),
-                    pitch_delta=payload.get("pitch_delta", 0.0),
-                    energy_factor=payload.get("energy_factor", 1.0),
-                    energy_delta=payload.get("energy_delta", 0.0),
-                    speaker=None if speaker is None else int(speaker),
-                    fmt=payload.get("format"),
-                )
+                payload, text, controls = self._parse()
+                req = server.submit(text, fmt=payload.get("format"),
+                                    **controls)
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"ok": False, "error": str(e)})
@@ -320,6 +350,61 @@ def _make_handler(server: TTSServer):
             self.send_header("Content-Length", str(len(req.result)))
             self.end_headers()
             self.wfile.write(req.result)
+
+        def _synthesize_long(self):
+            """Streaming long-form synthesis: chunked raw-PCM response.
+
+            The first sentence is synthesized ALONE (time-to-first-audio is
+            one sentence's latency, not the document's), then streamed while
+            the remaining sentences are enqueued together so they coalesce
+            into one batched device call. ``pause_s`` of silence separates
+            sentences, like Synthesizer.synthesize_long."""
+            from .serving import split_sentences
+
+            try:
+                payload, text, controls = self._parse()
+                parts = split_sentences(text)
+                if not parts:
+                    raise ValueError("no sentences found")
+                pause_s = float(payload.get("pause_s", 0.25))
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
+                self._json(400, {"ok": False, "error": str(e)})
+                return
+
+            head = server.submit(parts[0], fmt="pcm", **controls)
+            if head.error is not None:
+                self._json(500, {"ok": False, "error": head.error})
+                return
+            sr = server._sample_rate
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             f"audio/L16; rate={sr}; channels=1")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def chunk(data: bytes) -> None:
+                if data:
+                    self.wfile.write(f"{len(data):x}\r\n".encode()
+                                     + data + b"\r\n")
+
+            pause = b"\x00\x00" * int(pause_s * sr)
+            chunk(head.result)
+            # enqueue the tail all at once: one batching window -> one call
+            reqs = [server.enqueue(p, fmt="pcm", **controls)
+                    for p in parts[1:]]
+            deadline = server.config.request_timeout_s
+            for r in reqs:
+                ok = r.done.wait(deadline)
+                if not ok or r.error is not None:
+                    # headers are already out — end the stream early; the
+                    # truncation is the client-visible error signal
+                    logger.error("streaming sentence failed: %s",
+                                 r.error or "timeout")
+                    break
+                chunk(pause)
+                chunk(r.result)
+            self.wfile.write(b"0\r\n\r\n")
 
     return Handler
 

@@ -170,6 +170,45 @@ def test_synthesis_error_is_http_500(server):
     assert status == 200
 
 
+def test_pcm_format(server):
+    _, port = server
+    status, ctype, body = _post(port, {"text": "hi.", "format": "pcm"})
+    assert status == 200 and ctype.startswith("audio/L16")
+    assert "rate=22050" in ctype
+    assert len(body) > 0 and len(body) % 2 == 0  # int16 frames
+
+
+def test_synthesize_long_streams_chunked_pcm(server):
+    """Long-form endpoint: chunked raw-PCM stream — head sentence alone
+    (time-to-first-audio), tail sentences coalesced into one device call,
+    pause silence between sentences."""
+    srv, port = server
+    with srv._stats_lock:
+        before = dict(srv.stats)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/synthesize_long",
+        data=json.dumps({"text": "first one. second bit! third part?",
+                         "pause_s": 0.1}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("audio/L16")
+        assert resp.headers.get("Transfer-Encoding") == "chunked"
+        body = resp.read()
+    pause = 2 * int(0.1 * 22050)
+    assert len(body) > 2 * pause and len(body) % 2 == 0
+    with srv._stats_lock:
+        after = dict(srv.stats)
+    # 3 sentences = 3 requests, but at most 2 device batches (head + tail)
+    assert after["requests"] - before["requests"] == 3
+    assert after["batches"] - before["batches"] <= 2
+
+    # degenerate input -> 400 before any streaming starts
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(port, {"text": "   "}, path="/synthesize_long")
+    assert exc.value.code == 400
+
+
 def test_stop_fails_queued_requests_promptly():
     """stop() must fail anything still queued so handler threads don't sit
     out the full request timeout against a dead batcher."""
