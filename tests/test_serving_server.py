@@ -257,6 +257,46 @@ def test_warmup_covers_speaker_variant():
     assert set(synth1._compiled) == {(16, 64, 1, False)}
 
 
+def test_daemon_over_mesh_synthesizer():
+    """The daemon composes with mesh-sharded serving: a Synthesizer bound
+    to the virtual 8-device mesh serves HTTP requests identically (weights
+    replicated, coalesced batches sharded over the data axis)."""
+    from isp_tts_tpu.data.text.table import CodingTable
+    from isp_tts_tpu.parallel.mesh import make_mesh
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    model = AcousticModel(build_config(AcousticModelConfig, dict(
+        TINY, encoding_map=dict(ct.encoding_map))), rngs=nnx.Rngs(0))
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=3.0,
+        steps=1, charset=tuple(charset)), mesh=make_mesh(data=-1, model=1))
+    srv = TTSServer(synth, port=0, config=ServerConfig(
+        max_batch=8, max_wait_ms=200.0, default_format="mel"))
+    port = srv.start()
+    try:
+        status, _, body = _post(port, {"text": "mesh served."})
+        assert status == 200
+        mel = np.load(io.BytesIO(body))
+        assert mel.shape[1] == 16 and np.isfinite(mel).all()
+
+        results = []
+
+        def call(i):
+            results.append(_post(port, {"text": f"mesh batch {i}."}))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 4 and all(s == 200 for s, _, _ in results)
+        with srv._stats_lock:
+            assert srv.stats["max_coalesced"] >= 2
+    finally:
+        srv.stop()
+
+
 def test_encode_wav_roundtrip():
     sr = 16000
     audio = np.sin(np.linspace(0, 100, 1600)).astype(np.float32) * 0.5
