@@ -53,6 +53,10 @@ import numpy as np
 logger = logging.getLogger("isp_tts_tpu")
 
 
+class OverloadedError(RuntimeError):
+    """Request queue is full — mapped to HTTP 503."""
+
+
 @dataclass
 class ServerConfig:
     #: largest coalesced batch per device call (independent of the
@@ -67,6 +71,9 @@ class ServerConfig:
     #: daemon runs without --warmup (multi-minute on a 1-core host); warmed
     #: daemons can set this to a few seconds.
     request_timeout_s: float = 600.0
+    #: backpressure: requests beyond this queue depth are rejected with
+    #: HTTP 503 instead of growing memory without bound
+    max_queue: int = 256
 
 
 @dataclass
@@ -83,6 +90,8 @@ class _Pending:
     result: bytes | None = None
     content_type: str = "application/octet-stream"
     error: str | None = None
+    #: HTTP status for ``error`` (ValueError -> 400 client error, else 500)
+    error_code: int = 500
 
 
 def encode_pcm(audio: np.ndarray) -> bytes:
@@ -124,7 +133,7 @@ class TTSServer:
         self._queue: queue.Queue = queue.Queue()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
-                      "max_coalesced": 0}
+                      "max_coalesced": 0, "rejected": 0}
         self._httpd: ThreadingHTTPServer | None = None
         self._threads: list[threading.Thread] = []
         self._stopping = False
@@ -198,6 +207,11 @@ class TTSServer:
             int(seed), float(duration_factor), float(pitch_factor),
             float(pitch_delta), float(energy_factor), float(energy_delta),
             None if speaker is None else int(speaker), fmt))
+        if self._queue.qsize() >= self.config.max_queue:
+            with self._stats_lock:
+                self.stats["rejected"] += 1
+            raise OverloadedError(
+                f"queue depth {self.config.max_queue} reached — retry later")
         with self._stats_lock:
             self.stats["requests"] += 1
         self._queue.put(req)
@@ -268,14 +282,24 @@ class TTSServer:
                     self.stats["max_coalesced"], len(reqs))
             for r, p in zip(reqs, payloads):
                 r.result, r.content_type = p, ctype
-        except Exception as e:  # noqa: BLE001 — served as HTTP 500, not crash
-            logger.exception("batch of %d failed", len(reqs))
-            with self._stats_lock:
-                self.stats["errors"] += len(reqs)
-            for r in reqs:
+                r.done.set()
+        except Exception as e:  # noqa: BLE001 — served as HTTP error, not crash
+            if len(reqs) > 1:
+                # isolate the poison request: one bad input (e.g. text over
+                # the largest bucket raises ValueError) must not fail the
+                # whole coalesced window — retry each request alone so only
+                # the offender errors
+                logger.warning("batch of %d failed (%s); retrying "
+                               "individually", len(reqs), e)
+                for r in reqs:
+                    self._run_group(controls, [r])
+            else:
+                logger.exception("request failed")
+                with self._stats_lock:
+                    self.stats["errors"] += 1
+                r = reqs[0]
                 r.error = f"{type(e).__name__}: {e}"
-        finally:
-            for r in reqs:
+                r.error_code = 400 if isinstance(e, ValueError) else 500
                 r.done.set()
 
 
@@ -338,12 +362,15 @@ def _make_handler(server: TTSServer):
                 payload, text, controls = self._parse()
                 req = server.submit(text, fmt=payload.get("format"),
                                     **controls)
+            except OverloadedError as e:
+                self._json(503, {"ok": False, "error": str(e)})
+                return
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"ok": False, "error": str(e)})
                 return
             if req.error is not None:
-                self._json(500, {"ok": False, "error": req.error})
+                self._json(req.error_code, {"ok": False, "error": req.error})
                 return
             self.send_response(200)
             self.send_header("Content-Type", req.content_type)
@@ -367,14 +394,16 @@ def _make_handler(server: TTSServer):
                 if not parts:
                     raise ValueError("no sentences found")
                 pause_s = float(payload.get("pause_s", 0.25))
+                head = server.submit(parts[0], fmt="pcm", **controls)
+            except OverloadedError as e:
+                self._json(503, {"ok": False, "error": str(e)})
+                return
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"ok": False, "error": str(e)})
                 return
-
-            head = server.submit(parts[0], fmt="pcm", **controls)
             if head.error is not None:
-                self._json(500, {"ok": False, "error": head.error})
+                self._json(head.error_code, {"ok": False, "error": head.error})
                 return
             sr = server._sample_rate
             self.send_response(200)
@@ -391,8 +420,12 @@ def _make_handler(server: TTSServer):
             pause = b"\x00\x00" * int(pause_s * sr)
             chunk(head.result)
             # enqueue the tail all at once: one batching window -> one call
-            reqs = [server.enqueue(p, fmt="pcm", **controls)
-                    for p in parts[1:]]
+            try:
+                reqs = [server.enqueue(p, fmt="pcm", **controls)
+                        for p in parts[1:]]
+            except OverloadedError as e:
+                logger.error("stream truncated: %s", e)
+                reqs = []
             deadline = server.config.request_timeout_s
             for r in reqs:
                 ok = r.done.wait(deadline)

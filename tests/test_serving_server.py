@@ -297,6 +297,56 @@ def test_daemon_over_mesh_synthesizer():
         srv.stop()
 
 
+def test_poison_request_does_not_fail_the_batch(server):
+    """One bad input in a coalesced window (text over the largest bucket ->
+    ValueError) must fail ONLY the offender (HTTP 400), not the innocent
+    requests sharing its device call."""
+    srv, port = server
+    results, codes = [], []
+
+    def good(i):
+        try:
+            results.append(_post(port, {"text": f"fine request {i}."}))
+        except urllib.error.HTTPError as e:
+            codes.append(("good", e.code))
+
+    def poison():
+        try:
+            _post(port, {"text": "x" * 500})  # exceeds every text bucket
+        except urllib.error.HTTPError as e:
+            codes.append(("poison", e.code))
+
+    threads = [threading.Thread(target=good, args=(i,)) for i in range(3)]
+    threads.append(threading.Thread(target=poison))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 3 and all(s == 200 for s, _, _ in results)
+    assert ("poison", 400) in codes
+    assert not any(k == "good" for k, _ in codes)
+
+
+def test_queue_backpressure_returns_503():
+    """Requests beyond max_queue are rejected (HTTP 503 via
+    OverloadedError), not buffered without bound."""
+    from isp_tts_tpu.serving_server import OverloadedError, _Pending
+
+    srv = TTSServer.__new__(TTSServer)
+    import queue as _q
+    import threading as _t
+
+    srv._queue = _q.Queue()
+    srv._stats_lock = _t.Lock()
+    srv.stats = {"requests": 0, "batches": 0, "errors": 0,
+                 "max_coalesced": 0, "rejected": 0}
+    srv.config = ServerConfig(max_queue=2)
+    srv.enqueue("one."), srv.enqueue("two.")
+    with pytest.raises(OverloadedError):
+        srv.enqueue("three.")
+    assert srv.stats["rejected"] == 1 and srv.stats["requests"] == 2
+
+
 def test_encode_wav_roundtrip():
     sr = 16000
     audio = np.sin(np.linspace(0, 100, 1600)).astype(np.float32) * 0.5
