@@ -1,0 +1,103 @@
+"""AOT serving export tests: artifact == live Synthesizer, no model code."""
+
+import numpy as np
+import pytest
+from flax import nnx
+
+from isp_tts_tpu.config import build_config
+from isp_tts_tpu.export import ExportedSynthesizer, export_serving
+from isp_tts_tpu.models.acoustic.model import AcousticModel, AcousticModelConfig
+from isp_tts_tpu.serving import Synthesizer, SynthesizerConfig
+
+from test_serving import TINY
+
+CHARSET = ["<pad>", "</s>", "#punct", "#en"]
+
+
+def _make_synth(vocoder=False, num_speakers=0):
+    from isp_tts_tpu.data.text.table import CodingTable
+
+    ct = CodingTable.from_charset(CHARSET)
+    cfg = dict(TINY, encoding_map=dict(ct.encoding_map))
+    if num_speakers:
+        cfg["num_speakers"] = num_speakers
+    model = AcousticModel(build_config(AcousticModelConfig, cfg),
+                          rngs=nnx.Rngs(0))
+    voc = None
+    if vocoder:
+        from isp_tts_tpu.config.registry import build_config as bc
+        from isp_tts_tpu.models.vocoder import VocoderModel, VocoderModelConfig
+
+        voc = VocoderModel(bc(VocoderModelConfig, {
+            "features": {"sample_rate": 22050, "n_fft": 1024,
+                         "hop_length": 256, "win_length": 1024, "n_mels": 16,
+                         "f_min": 0.0, "f_max": 8000.0},
+            "generator": {"dim": 16, "intermediate_dim": 32, "num_layers": 1},
+            "discriminator": {"periods": [2], "resolutions": [[64, 16]],
+                              "mpd_channels": [2], "mrd_channels": 2},
+        }), rngs=nnx.Rngs(1))
+    return Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=3.0,
+        steps=1, charset=tuple(CHARSET)), vocoder=voc)
+
+
+def test_exported_mel_matches_live_synthesizer(tmp_path):
+    synth = _make_synth()
+    path = tmp_path / "serving.tts.zip"
+    meta = export_serving(synth, path, text_bucket=16, frame_budget=64,
+                          batch=1)
+    assert meta["output"] == "mel" and meta["platforms"]
+
+    ex = ExportedSynthesizer(path)
+    text = "hello world."
+    got = ex(text, seed=5)[0]
+    want = synth(text, seed=5)[0]
+    assert got.shape == want.shape  # same dec_lengths
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+    # controls flow through the exported signature
+    slow = ex(text, seed=5, duration_factor=1.5)[0]
+    assert slow.shape[0] != got.shape[0] or not np.allclose(slow, got)
+
+
+def test_exported_audio_artifact_is_self_contained(tmp_path):
+    """tokens -> WAVEFORM in one exported function (acoustic + vocoder fused,
+    mel never exposed), reconstructed from the artifact alone."""
+    synth = _make_synth(vocoder=True)
+    path = tmp_path / "serving_audio.tts.zip"
+    meta = export_serving(synth, path, text_bucket=16, frame_budget=64,
+                          batch=1)
+    assert meta["output"] == "audio" and meta["hop_length"] == 256
+
+    ex = ExportedSynthesizer(path)
+    got = ex("hi there.", seed=3)[0]
+    want = synth.synthesize_audio("hi there.", seed=3)[0]
+    assert got.shape == want.shape
+    # the live path clips to [-1, 1] AFTER the vocoder; the artifact returns
+    # raw vocoder output — compare on the clipped scale
+    np.testing.assert_allclose(np.clip(got, -1, 1), want, atol=2e-5)
+
+
+def test_exported_speaker_variant_and_validation(tmp_path):
+    synth = _make_synth(num_speakers=3)
+    path = tmp_path / "spk.tts.zip"
+    export_serving(synth, path, text_bucket=16, frame_budget=64, batch=2,
+                   use_speaker=True)
+    ex = ExportedSynthesizer(path)
+    a = ex("hello.", seed=1, speaker=1)[0]
+    b = ex("hello.", seed=1, speaker=2)[0]
+    assert a.shape != b.shape or not np.allclose(a, b)
+    want = synth("hello.", seed=1, speaker=1)[0]
+    n = min(len(a), len(want))
+    np.testing.assert_allclose(a[:n], want[:n], atol=2e-5)
+
+    with pytest.raises(ValueError, match="batch"):
+        ex(["a.", "b.", "c."])
+    with pytest.raises(ValueError, match="bucket"):
+        ex("x" * 100)
+
+    # artifact without speaker support rejects the control
+    path2 = tmp_path / "nospk.tts.zip"
+    export_serving(synth, path2, text_bucket=16, frame_budget=64, batch=1)
+    with pytest.raises(ValueError, match="speaker"):
+        ExportedSynthesizer(path2)("hello.", speaker=1)
