@@ -19,11 +19,13 @@ host works because lowering is ahead-of-time; pass ``platforms=("cpu",
 
 from __future__ import annotations
 
-import io
 import json
+import logging
 import zipfile
 
 import numpy as np
+
+logger = logging.getLogger("isp_tts_tpu")
 
 _META_NAME = "meta.json"
 _FN_NAME = "fn.jaxexport"
@@ -68,7 +70,9 @@ def export_serving(synth, path, text_bucket: int, frame_budget: int,
             speaker=speaker if use_speaker else None, **extra)
         if has_vocoder:
             voc = nnx.merge(voc_graphdef, voc_state)
-            return voc.infer(mel), ad.dec_lengths
+            # same float32 [-1, 1] contract as Synthesizer.synthesize_audio:
+            # GAN vocoders can peak past 1.0, which would wrap int16 encoders
+            return jnp.clip(voc.infer(mel), -1.0, 1.0), ad.dec_lengths
         return mel, ad.dec_lengths
 
     f32 = jnp.float32
@@ -103,6 +107,11 @@ def export_serving(synth, path, text_bucket: int, frame_budget: int,
         "steps": steps,
         "platforms": list(exported.platforms),
         "encoding_map": dict(synth.text_provider.coding_table.encoding_map),
+        # the text pipeline travels with the artifact: a phoneme-charset
+        # model tokenized without its phonemizer would silently drop every
+        # grapheme (unknown chars warn, not raise) and produce garbage audio
+        "phonemizer": bool(synth.config.phonemizer),
+        "language": synth.config.language,
         "hop_length": hop,
         "sample_rate": sr,
         "mel_dim": int(synth.model.mel_dim),
@@ -138,7 +147,11 @@ class ExportedSynthesizer:
         from .data.text.table import CodingTable
 
         self._table = CodingTable.from_encoding_map(self.meta["encoding_map"])
-        self._process = TextProcessor()
+        # reconstruct the source synthesizer's text pipeline — if the
+        # artifact needs espeak and this host lacks it, fail HERE, loudly
+        self._process = TextProcessor(
+            phonemizer=self.meta.get("phonemizer", False),
+            language=self.meta.get("language", "en-us"))
 
     def __call__(self, text: str | list[str], seed: int = 0,
                  duration_factor: float = 1.0, pitch_factor: float = 1.0,
@@ -167,12 +180,25 @@ class ExportedSynthesizer:
         spk = np.zeros((B,), np.int32)
         if speaker is not None:
             ids = [speaker] * len(texts) if np.isscalar(speaker) else list(speaker)
+            if len(ids) != len(texts):
+                raise ValueError(
+                    f"speaker list length {len(ids)} != number of texts "
+                    f"{len(texts)}")
             spk[: len(ids)] = ids
         out, dec_lens = self._fn.call(
             tokens, lens, np.uint32(seed), np.float32(duration_factor),
             np.float32(pitch_factor), np.float32(pitch_delta),
             np.float32(energy_factor), np.float32(energy_delta), spk)
         out, dec_lens = np.asarray(out), np.asarray(dec_lens)
+        if any(int(dec_lens[i]) >= meta["frame_budget"]
+               for i in range(len(texts))):
+            # a single-shape artifact cannot rebucket like the live
+            # Synthesizer — surface the clip instead of losing tail frames
+            # silently (export with a larger --frame-budget to fix)
+            logger.warning(
+                "exported frame budget %d saturated (dec_lens=%s); tail "
+                "frames may be clipped", meta["frame_budget"],
+                dec_lens[: len(texts)])
         n = meta["hop_length"] if meta["output"] == "audio" else 1
         return [out[i, : int(dec_lens[i]) * n] if meta["output"] == "audio"
                 else out[i, : int(dec_lens[i])] for i in range(len(texts))]

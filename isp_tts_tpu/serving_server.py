@@ -207,14 +207,16 @@ class TTSServer:
             int(seed), float(duration_factor), float(pitch_factor),
             float(pitch_delta), float(energy_factor), float(energy_delta),
             None if speaker is None else int(speaker), fmt))
-        if self._queue.qsize() >= self.config.max_queue:
-            with self._stats_lock:
-                self.stats["rejected"] += 1
-            raise OverloadedError(
-                f"queue depth {self.config.max_queue} reached — retry later")
+        # check + put under one lock: concurrent handler threads must not
+        # all pass a bare qsize() check and overshoot the cap
         with self._stats_lock:
+            if self._queue.qsize() >= self.config.max_queue:
+                self.stats["rejected"] += 1
+                raise OverloadedError(
+                    f"queue depth {self.config.max_queue} reached — "
+                    "retry later")
             self.stats["requests"] += 1
-        self._queue.put(req)
+            self._queue.put(req)
         return req
 
     def submit(self, text: str, timeout: float | None = None,
@@ -257,7 +259,8 @@ class TTSServer:
             for controls, reqs in groups.items():
                 self._run_group(controls, reqs)
 
-    def _run_group(self, controls: tuple, reqs: list[_Pending]) -> None:
+    def _run_group(self, controls: tuple, reqs: list[_Pending],
+                   _retry: bool = False) -> None:
         seed, df, pf, pd, ef, ed, speaker, fmt = controls
         texts = [r.text for r in reqs]
         kwargs = dict(seed=seed, duration_factor=df, pitch_factor=pf,
@@ -276,31 +279,37 @@ class TTSServer:
                 outs = self.synthesizer(texts, **kwargs)
                 payloads = [encode_npy(o) for o in outs]
                 ctype = "application/x-npy"
-            with self._stats_lock:
-                self.stats["batches"] += 1
-                self.stats["max_coalesced"] = max(
-                    self.stats["max_coalesced"], len(reqs))
+            if not _retry:  # a retried single is still the ORIGINAL window
+                with self._stats_lock:
+                    self.stats["batches"] += 1
+                    self.stats["max_coalesced"] = max(
+                        self.stats["max_coalesced"], len(reqs))
             for r, p in zip(reqs, payloads):
                 r.result, r.content_type = p, ctype
                 r.done.set()
-        except Exception as e:  # noqa: BLE001 — served as HTTP error, not crash
+        except ValueError as e:
+            # a bad INPUT (e.g. text over the largest bucket): isolate the
+            # poison request by retrying each alone so only the offender
+            # errors. Deliberately narrow — retrying a transient device
+            # error would amplify it into N sequential single-row calls.
             if len(reqs) > 1:
-                # isolate the poison request: one bad input (e.g. text over
-                # the largest bucket raises ValueError) must not fail the
-                # whole coalesced window — retry each request alone so only
-                # the offender errors
-                logger.warning("batch of %d failed (%s); retrying "
-                               "individually", len(reqs), e)
+                logger.warning("batch of %d failed on a bad input (%s); "
+                               "retrying individually", len(reqs), e)
                 for r in reqs:
-                    self._run_group(controls, [r])
+                    self._run_group(controls, [r], _retry=True)
             else:
-                logger.exception("request failed")
-                with self._stats_lock:
-                    self.stats["errors"] += 1
-                r = reqs[0]
-                r.error = f"{type(e).__name__}: {e}"
-                r.error_code = 400 if isinstance(e, ValueError) else 500
-                r.done.set()
+                self._fail(reqs[0], e, code=400)
+        except Exception as e:  # noqa: BLE001 — served as HTTP error, not crash
+            logger.exception("batch of %d failed", len(reqs))
+            for r in reqs:
+                self._fail(r, e, code=500)
+
+    def _fail(self, r: _Pending, e: Exception, code: int) -> None:
+        with self._stats_lock:
+            self.stats["errors"] += 1
+        r.error = f"{type(e).__name__}: {e}"
+        r.error_code = code
+        r.done.set()
 
 
 def _make_handler(server: TTSServer):
@@ -419,24 +428,34 @@ def _make_handler(server: TTSServer):
 
             pause = b"\x00\x00" * int(pause_s * sr)
             chunk(head.result)
-            # enqueue the tail all at once: one batching window -> one call
-            try:
-                reqs = [server.enqueue(p, fmt="pcm", **controls)
-                        for p in parts[1:]]
-            except OverloadedError as e:
-                logger.error("stream truncated: %s", e)
-                reqs = []
+            # enqueue the tail in bounded waves of max_batch: each wave
+            # coalesces into one device call, and a long document can never
+            # blow past the backpressure cap (which would orphan accepted
+            # requests the client will never read)
             deadline = server.config.request_timeout_s
-            for r in reqs:
-                ok = r.done.wait(deadline)
-                if not ok or r.error is not None:
-                    # headers are already out — end the stream early; the
-                    # truncation is the client-visible error signal
-                    logger.error("streaming sentence failed: %s",
-                                 r.error or "timeout")
+            truncated = False
+            for start in range(1, len(parts), server.config.max_batch):
+                reqs = []
+                for p in parts[start:start + server.config.max_batch]:
+                    try:
+                        reqs.append(server.enqueue(p, fmt="pcm", **controls))
+                    except OverloadedError as e:
+                        logger.error("stream backpressure: %s", e)
+                        truncated = True
+                        break
+                for r in reqs:
+                    ok = r.done.wait(deadline)
+                    if not ok or r.error is not None:
+                        # headers are already out — end the stream early;
+                        # the truncation is the client-visible error signal
+                        logger.error("streaming sentence failed: %s",
+                                     r.error or "timeout")
+                        truncated = True
+                        break
+                    chunk(pause)
+                    chunk(r.result)
+                if truncated:
                     break
-                chunk(pause)
-                chunk(r.result)
             self.wfile.write(b"0\r\n\r\n")
 
     return Handler

@@ -73,9 +73,9 @@ def test_exported_audio_artifact_is_self_contained(tmp_path):
     got = ex("hi there.", seed=3)[0]
     want = synth.synthesize_audio("hi there.", seed=3)[0]
     assert got.shape == want.shape
-    # the live path clips to [-1, 1] AFTER the vocoder; the artifact returns
-    # raw vocoder output — compare on the clipped scale
-    np.testing.assert_allclose(np.clip(got, -1, 1), want, atol=2e-5)
+    # identical contract incl. the [-1, 1] clip (int16 encoders downstream)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert got.min() >= -1.0 and got.max() <= 1.0
 
 
 def test_exported_speaker_variant_and_validation(tmp_path):
@@ -96,8 +96,51 @@ def test_exported_speaker_variant_and_validation(tmp_path):
     with pytest.raises(ValueError, match="bucket"):
         ex("x" * 100)
 
+    # speaker list length must match the texts (live-path parity)
+    with pytest.raises(ValueError, match="speaker list"):
+        ex(["a.", "b."], speaker=[1])
+
     # artifact without speaker support rejects the control
     path2 = tmp_path / "nospk.tts.zip"
     export_serving(synth, path2, text_bucket=16, frame_budget=64, batch=1)
     with pytest.raises(ValueError, match="speaker"):
         ExportedSynthesizer(path2)("hello.", speaker=1)
+
+
+def test_exported_saturation_warns(tmp_path, caplog):
+    """A single-shape artifact can't rebucket like the live Synthesizer —
+    saturating the exported frame budget must warn, not clip silently."""
+    import logging
+
+    synth = _make_synth()
+    path = tmp_path / "sat.tts.zip"
+    export_serving(synth, path, text_bucket=16, frame_budget=64, batch=1)
+    ex = ExportedSynthesizer(path)
+    with caplog.at_level(logging.WARNING, logger="isp_tts_tpu"):
+        out = ex("hello there.", duration_factor=1000.0)[0]
+    assert out.shape[0] == 64  # clamped at the budget
+    assert any("saturated" in r.message for r in caplog.records)
+
+
+def test_export_records_text_pipeline(tmp_path):
+    """The phonemizer flag travels with the artifact: loading a
+    phonemizer-exported artifact on a host without espeak fails loudly at
+    construction instead of silently tokenizing graphemes into garbage."""
+    import json
+    import zipfile
+
+    synth = _make_synth()
+    path = tmp_path / "ph.tts.zip"
+    export_serving(synth, path, text_bucket=16, frame_budget=64, batch=1)
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read("meta.json"))
+    assert meta["phonemizer"] is False and meta["language"] == "en-us"
+
+    # forge a phonemizer artifact (this env has no espeak to export one)
+    forged = tmp_path / "ph2.tts.zip"
+    meta["phonemizer"] = True
+    with zipfile.ZipFile(path) as zin, zipfile.ZipFile(forged, "w") as zout:
+        zout.writestr("meta.json", json.dumps(meta))
+        zout.writestr("fn.jaxexport", zin.read("fn.jaxexport"))
+    with pytest.raises(ImportError):
+        ExportedSynthesizer(forged)

@@ -209,6 +209,60 @@ def test_synthesize_long_streams_chunked_pcm(server):
     assert exc.value.code == 400
 
 
+def test_synthesize_long_many_sentences_waves(server):
+    """A document with more sentences than max_batch streams in bounded
+    waves (backpressure can't orphan accepted requests)."""
+    srv, port = server
+    with srv._stats_lock:
+        before = dict(srv.stats)
+    text = " ".join(f"sentence number {i}." for i in range(10))
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/synthesize_long",
+        data=json.dumps({"text": text, "pause_s": 0.05}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        body = resp.read()
+    assert len(body) > 9 * 2 * int(0.05 * 22050)
+    with srv._stats_lock:
+        after = dict(srv.stats)
+    assert after["requests"] - before["requests"] == 10
+    # head + ceil(9 / max_batch=8) = 2 waves -> at most 3 device calls
+    assert after["batches"] - before["batches"] <= 3
+
+
+def test_transient_error_fails_batch_without_retry_amplification(server):
+    """A non-ValueError (transient device error) on a coalesced window must
+    fail the window as HTTP 500 WITHOUT N sequential single-row retries."""
+    srv, port = server
+    real = srv.synthesizer._synthesize_mel
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise RuntimeError("transient device error")
+
+    srv.synthesizer._synthesize_mel = boom
+    try:
+        codes = []
+
+        def call(i):
+            try:
+                _post(port, {"text": f"will fail {i}."})
+            except urllib.error.HTTPError as e:
+                codes.append(e.code)
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        srv.synthesizer._synthesize_mel = real
+    assert codes == [500, 500, 500, 500]
+    # no amplification: at most one device attempt per coalesced window
+    assert len(calls) <= 2
+
+
 def test_stop_fails_queued_requests_promptly():
     """stop() must fail anything still queued so handler threads don't sit
     out the full request timeout against a dead batcher."""
