@@ -9,6 +9,9 @@ point of the bucketed serving design — single-row calls waste the MXU).
 The reference has no serving runtime at all (its serve path is a notebook
 cell, inference.ipynb cells 23-25); this is the deployment-shaped
 equivalent. Stdlib-only: ``http.server`` + ``threading`` + ``wave``.
+Runs from a checkpoint (``--checkpoint``) or from an AOT export artifact
+alone (``--artifact``, see :mod:`isp_tts_tpu.export`) — the latter needs
+no model code on the host.
 
 API
 ---
@@ -312,6 +315,36 @@ class TTSServer:
         r.done.set()
 
 
+class ArtifactServing:
+    """Adapter so the daemon can serve from an AOT artifact alone
+    (``export.ExportedSynthesizer``) — a deployment host needs the artifact
+    zip and jax, nothing else. Only audio artifacts (exported with a
+    vocoder) make sense behind the wav/pcm endpoints."""
+
+    def __init__(self, exported):
+        if exported.meta["output"] != "audio":
+            raise ValueError(
+                "daemon artifact serving needs an audio artifact (export "
+                "with --vocoder); this one outputs "
+                f"{exported.meta['output']!r}")
+        self.exported = exported
+        self.vocoder = None  # sample rate comes from _audio_geometry below
+
+    @property
+    def max_batch(self) -> int:
+        return int(self.exported.meta["batch"])
+
+    def _audio_geometry(self) -> dict:
+        return {"sample_rate": self.exported.meta["sample_rate"]}
+
+    def synthesize_audio(self, texts, **controls):
+        return self.exported(texts, **controls)
+
+    def __call__(self, texts, **controls):
+        raise ValueError(
+            "mel format is unavailable when serving from an audio artifact")
+
+
 def _make_handler(server: TTSServer):
     class Handler(BaseHTTPRequestHandler):
         # route logging through the framework logger, not stderr
@@ -468,7 +501,10 @@ def main(argv=None) -> None:
     from .serving import Synthesizer, SynthesizerConfig
 
     p = argparse.ArgumentParser(description="isp_tts_tpu serving daemon")
-    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--artifact", default=None,
+                   help="serve from an AOT export (isp_tts_tpu.export) "
+                        "instead of a checkpoint — no model code needed")
     p.add_argument("--vocoder", default=None,
                    help="optional VocoderModel checkpoint / torch Vocos file")
     p.add_argument("--host", default="127.0.0.1")
@@ -481,13 +517,23 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
-    synth = Synthesizer.from_pretrained(
-        args.checkpoint, SynthesizerConfig(steps=args.steps),
-        vocoder_path=args.vocoder)
-    if args.warmup:
-        synth.warmup(batch_sizes=(1, args.max_batch))
+    if (args.checkpoint is None) == (args.artifact is None):
+        p.error("exactly one of --checkpoint / --artifact is required")
+    max_batch = args.max_batch
+    if args.artifact is not None:
+        from .export import ExportedSynthesizer
+
+        synth = ArtifactServing(ExportedSynthesizer(args.artifact))
+        # the artifact has ONE compiled batch shape — don't coalesce past it
+        max_batch = min(max_batch, synth.max_batch)
+    else:
+        synth = Synthesizer.from_pretrained(
+            args.checkpoint, SynthesizerConfig(steps=args.steps),
+            vocoder_path=args.vocoder)
+        if args.warmup:
+            synth.warmup(batch_sizes=(1, max_batch))
     server = TTSServer(synth, host=args.host, port=args.port,
-                       config=ServerConfig(max_batch=args.max_batch,
+                       config=ServerConfig(max_batch=max_batch,
                                            max_wait_ms=args.max_wait_ms))
     port = server.start()
     logger.info("serving on http://%s:%d — POST /synthesize", args.host, port)

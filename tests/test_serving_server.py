@@ -401,6 +401,65 @@ def test_queue_backpressure_returns_503():
     assert srv.stats["rejected"] == 1 and srv.stats["requests"] == 2
 
 
+def test_daemon_serves_from_aot_artifact(tmp_path):
+    """The daemon runs from an exported artifact alone (ArtifactServing):
+    wav + streaming endpoints work, mel format is a client error, and the
+    coalescing cap respects the artifact's single compiled batch shape."""
+    from isp_tts_tpu.export import ExportedSynthesizer, export_serving
+    from isp_tts_tpu.serving_server import ArtifactServing
+    from test_export import _make_synth
+
+    synth = _make_synth(vocoder=True)
+    path = tmp_path / "daemon.tts.zip"
+    export_serving(synth, path, text_bucket=16, frame_budget=64, batch=4)
+    adapter = ArtifactServing(ExportedSynthesizer(path))
+    assert adapter.max_batch == 4
+    srv = TTSServer(adapter, port=0, config=ServerConfig(
+        max_batch=4, max_wait_ms=200.0, default_format="wav"))
+    port = srv.start()
+    try:
+        status, ctype, body = _post(port, {"text": "hi there."})
+        assert status == 200 and ctype == "audio/wav"
+        with wave.open(io.BytesIO(body)) as w:
+            assert w.getframerate() == 22050 and w.getnframes() > 0
+
+        # mel is a client error on an audio artifact
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(port, {"text": "hi.", "format": "mel"})
+        assert exc.value.code == 400
+
+        # concurrent requests coalesce within the artifact's batch shape
+        results = []
+
+        def call(i):
+            results.append(_post(port, {"text": f"batch {i}."}))
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert len(results) == 4 and all(s == 200 for s, _, _ in results)
+
+        # streaming long-form through the artifact
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/synthesize_long",
+            data=json.dumps({"text": "one. two. three."}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("audio/L16")
+            assert len(resp.read()) > 0
+    finally:
+        srv.stop()
+
+    # a mel artifact is rejected at adapter construction
+    path2 = tmp_path / "mel.tts.zip"
+    export_serving(_make_synth(), path2, text_bucket=16, frame_budget=64)
+    with pytest.raises(ValueError, match="audio artifact"):
+        ArtifactServing(ExportedSynthesizer(path2))
+
+
 def test_encode_wav_roundtrip():
     sr = 16000
     audio = np.sin(np.linspace(0, 100, 1600)).astype(np.float32) * 0.5
