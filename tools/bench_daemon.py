@@ -54,7 +54,7 @@ def main() -> None:
     ap.add_argument("--text", default="pame tizo kuve lasi.")
     args = ap.parse_args()
 
-    from isp_tts_tpu.serving import Synthesizer, SynthesizerConfig
+    from isp_tts_tpu.serving import Synthesizer
     from isp_tts_tpu.serving_server import ServerConfig, TTSServer
     from isp_tts_tpu.utils.compile_cache import enable_compile_cache
 
