@@ -147,17 +147,17 @@ class Synthesizer:
         fresh out of its GANTrainer)."""
         vocoder.eval()
         self.vocoder = vocoder
-        voc_graphdef, self._voc_state = nnx.split(vocoder)
+        self._voc_graphdef, self._voc_state = nnx.split(vocoder)
         if self.config.weights_dtype is not None:
             self._voc_state = cast_float_state(
                 self._voc_state, self.config.weights_dtype)
         if self.mesh is not None:
             self._voc_state = jax.device_put(self._voc_state,
                                              self._replicated)
-        # one jitted entry point; jax.jit's own cache specializes per
-        # (frames, batch) shape
-        self._vocode = jax.jit(
-            lambda state, mel: nnx.merge(voc_graphdef, state).infer(mel))
+        # fused audio executables close over the PREVIOUS vocoder's graphdef;
+        # drop them so the next call recompiles against this one
+        self._compiled = {k: v for k, v in self._compiled.items()
+                          if k[0] != "audio"}
         self._check_vocoder_contract(vocoder)
 
     @classmethod
@@ -231,11 +231,69 @@ class Synthesizer:
             self._compiled[key] = fn = synth
         return fn
 
-    def warmup(self, batch_sizes: tuple = (1,)) -> None:
+    def _audio_executable(self, text_bucket: int, frame_budget: int,
+                          batch: int, use_speaker: bool = False):
+        """ONE program for the whole text -> waveform path: acoustic infer +
+        vocoder (neural, or matmul Griffin-Lim without one) + clip, fused by
+        XLA. One device dispatch per request instead of two — through a
+        dispatch-bound front door (the serving daemon's ~30 ms/call relay
+        hop) this roughly halves end-to-end latency vs chaining the mel and
+        vocoder executables."""
+        key = ("audio", text_bucket, frame_budget, batch, use_speaker)
+        fn = self._compiled.get(key)
+        if fn is None:
+            steps = self.config.steps
+            graphdef = self._graphdef
+            if self.vocoder is not None:
+                voc_graphdef = self._voc_graphdef
+
+                def vocode(voc_state, mel):
+                    return nnx.merge(voc_graphdef, voc_state).infer(mel)
+            else:
+                from .ops.vocoder import mel_to_audio_tpu
+
+                geo = self._audio_geometry()
+
+                def vocode(voc_state, mel):
+                    return mel_to_audio_tpu(
+                        mel, geo["sample_rate"], geo["n_fft"],
+                        geo["hop_length"], geo["win_length"], geo["f_min"],
+                        geo["f_max"])
+
+            @jax.jit
+            def synth_audio(state, voc_state, tokens, lens, key,
+                            duration_factor, pitch_factor, pitch_delta,
+                            energy_factor, energy_delta, speaker):
+                m = nnx.merge(graphdef, state)
+                mel, ad = m.infer(
+                    tokens, text_lengths=lens, max_dec_len=frame_budget,
+                    steps=steps, key=key, duration_factor=duration_factor,
+                    pitch_factor=pitch_factor, pitch_delta=pitch_delta,
+                    energy_factor=energy_factor, energy_delta=energy_delta,
+                    speaker=speaker if use_speaker else None,
+                    **self.config.extra_controls)
+                audio = jnp.clip(vocode(voc_state, mel), -1.0, 1.0)
+                return audio, ad.dec_lengths
+
+            self._compiled[key] = fn = synth_audio
+        return fn
+
+    def _hop_length(self) -> int:
+        return (self.vocoder.features_config.hop_length
+                if self.vocoder is not None
+                else self._audio_geometry()["hop_length"])
+
+    def warmup(self, batch_sizes: tuple = (1,), audio: bool | None = None) -> None:
         """Pre-compile every (bucket, budget, batch) executable — including
         the speaker-control variant on multi-speaker checkpoints (it is part
         of the compile-cache key; without this a daemon's first
-        speaker-carrying request would stall on a full XLA compile)."""
+        speaker-carrying request would stall on a full XLA compile).
+
+        ``audio`` additionally warms the FUSED text->waveform executables
+        (the wav serve path); default: on exactly when a neural vocoder is
+        attached (the Griffin-Lim fallback is warmable by passing True)."""
+        if audio is None:
+            audio = self.vocoder is not None
         variants = (False, True) if self._has_speaker else (False,)
         for b in batch_sizes:
             b = self._batch_bucket(b)
@@ -248,6 +306,12 @@ class Synthesizer:
                         self._executable(tb, fb, b, use_speaker)(
                             self._state, tokens, lens, jax.random.PRNGKey(0),
                             1.0, 1.0, 0.0, 1.0, 0.0, spk)
+                        if audio:
+                            self._audio_executable(tb, fb, b, use_speaker)(
+                                self._state, self._voc_state
+                                if self.vocoder is not None else None,
+                                tokens, lens, jax.random.PRNGKey(0),
+                                1.0, 1.0, 0.0, 1.0, 0.0, spk)
         logger.info("synthesizer warm: %d executables", len(self._compiled))
 
     # -- serving -------------------------------------------------------------
@@ -274,29 +338,18 @@ class Synthesizer:
                          pitch_delta: float = 0.0, energy_factor: float = 1.0,
                          energy_delta: float = 0.0,
                          speaker: int | list[int] | None = None) -> list[np.ndarray]:
-        """Full text -> waveform serving path. With a neural vocoder attached
-        the mel never leaves the device between the two executables; without
-        one, falls back to on-device matmul Griffin-Lim. Returns float32
-        waveforms clipped to +-1 (the reference's inference.ipynb cell 23
-        contract)."""
-        mel, dec_lens, B = self._synthesize_mel(
+        """Full text -> waveform serving path, fused into ONE device program
+        (acoustic + vocoder + clip): the mel never exists outside the
+        executable, and a dispatch-bound front door (the serving daemon) pays
+        one device call instead of two. With a neural vocoder attached it is
+        the mel->wav stage; without one, on-device matmul Griffin-Lim.
+        Returns float32 waveforms clipped to +-1 (the reference's
+        inference.ipynb cell 23 contract)."""
+        audio, dec_lens, B = self._synthesize_mel(
             text, seed, duration_factor, pitch_factor, pitch_delta,
-            energy_factor, energy_delta, speaker)
-        if self.vocoder is not None:
-            hop = self.vocoder.features_config.hop_length
-            # mel is already on device (batch-sharded under a mesh): the
-            # acoustic->vocoder hop never touches the host
-            audio = np.asarray(self._vocode(self._voc_state, mel))
-        else:
-            from .ops.vocoder import mel_to_audio_tpu
-
-            geo = self._audio_geometry()
-            hop = geo["hop_length"]
-            audio = np.asarray(mel_to_audio_tpu(
-                mel, geo["sample_rate"], geo["n_fft"],
-                geo["hop_length"], geo["win_length"], geo["f_min"],
-                geo["f_max"]))
-        audio = np.clip(audio, -1.0, 1.0)
+            energy_factor, energy_delta, speaker, audio=True)
+        hop = self._hop_length()
+        audio = np.asarray(audio)
         return [audio[i, : int(dec_lens[i]) * hop] for i in range(B)]
 
     def synthesize_long(self, text: str, seed: int = 0, pause_s: float = 0.25,
@@ -375,9 +428,11 @@ class Synthesizer:
                         duration_factor: float = 1.0, pitch_factor: float = 1.0,
                         pitch_delta: float = 0.0, energy_factor: float = 1.0,
                         energy_delta: float = 0.0,
-                        speaker: int | list[int] | None = None):
-        """Bucketed mel synthesis; returns the PADDED (B, budget, n_mels)
-        array + per-sample valid frame counts."""
+                        speaker: int | list[int] | None = None,
+                        audio: bool = False):
+        """Bucketed synthesis; returns the PADDED (B, budget, n_mels) mel
+        (or, with ``audio=True``, the fused-executable (B, samples) waveform)
+        + per-sample valid frame counts."""
         texts = [text] if isinstance(text, str) else list(text)
         use_speaker = speaker is not None
         if use_speaker and not self._has_speaker:
@@ -416,8 +471,14 @@ class Synthesizer:
 
         budgets = self.config.frame_budgets
         while True:
-            fn = self._executable(tb, fb, Bb, use_speaker)
-            mel, dec_lens = fn(self._state, self._put_batch(tokens),
+            if audio:
+                fn = self._audio_executable(tb, fb, Bb, use_speaker)
+                args = (self._state, self._voc_state
+                        if self.vocoder is not None else None)
+            else:
+                fn = self._executable(tb, fb, Bb, use_speaker)
+                args = (self._state,)
+            mel, dec_lens = fn(*args, self._put_batch(tokens),
                                self._put_batch(lens), jax.random.PRNGKey(seed),
                                float(duration_factor), float(pitch_factor),
                                float(pitch_delta), float(energy_factor),

@@ -426,3 +426,98 @@ def test_synthesizer_bf16_weights_close_to_f32():
     assert n > 0 and np.isfinite(b).all()
     # bf16 weights shift rounding; mel values span ~[-11, 2]
     assert np.mean(np.abs(a[:n] - b[:n])) < 0.3
+
+
+def test_fused_audio_executable_matches_two_stage():
+    """synthesize_audio runs acoustic + vocoder as ONE fused device program
+    (one dispatch per request instead of two). It must equal vocoding the
+    mel executable's padded output separately, and warmup must pre-compile
+    the fused variants so a wav-serving daemon never stalls on a cold
+    compile."""
+    import jax
+    from flax import nnx as _nnx
+
+    from isp_tts_tpu.config.registry import build_config as bc
+    from isp_tts_tpu.data.text.table import CodingTable
+    from isp_tts_tpu.models.vocoder import VocoderModel, VocoderModelConfig
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    geo = {"sample_rate": 22050, "n_fft": 512, "hop_length": 128,
+           "win_length": 512, "f_min": 0.0, "f_max": 8000.0}
+    model = AcousticModel(build_config(AcousticModelConfig, dict(
+        TINY, encoding_map=dict(ct.encoding_map), audio_config=dict(geo))),
+        rngs=nnx.Rngs(0))
+    voc_cfg = bc(VocoderModelConfig, {
+        "features": dict(geo, n_mels=16),
+        "generator": {"dim": 16, "intermediate_dim": 32, "num_layers": 1},
+        "discriminator": {"periods": [2], "resolutions": [[64, 16]],
+                          "mpd_channels": [2], "mrd_channels": 2},
+    })
+    vocoder = VocoderModel(voc_cfg, rngs=nnx.Rngs(1))
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=4.0,
+        steps=1, charset=tuple(charset)), vocoder=vocoder)
+
+    wavs = synth.synthesize_audio("hi there.", seed=7)
+    assert ("audio", 16, 64, 1, False) in synth._compiled
+
+    # two-stage reference: the mel executable's PADDED output -> vocoder
+    mel, dec_lens, B = synth._synthesize_mel("hi there.", seed=7)
+    voc_graphdef, voc_state = _nnx.split(vocoder)
+    audio = np.asarray(_nnx.merge(voc_graphdef, voc_state).infer(
+        jax.numpy.asarray(mel)))
+    audio = np.clip(audio, -1.0, 1.0)
+    hop = vocoder.features_config.hop_length
+    want = audio[0, : int(dec_lens[0]) * hop]
+    assert wavs[0].shape == want.shape
+    np.testing.assert_allclose(wavs[0], want, atol=1e-4)
+
+    # warmup covers the fused executables: a fresh synthesizer that warms
+    # first compiles nothing new at request time
+    synth2 = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=4.0,
+        steps=1, charset=tuple(charset)), vocoder=vocoder)
+    synth2.warmup(batch_sizes=(1,))
+    n = len(synth2._compiled)
+    assert any(k[0] == "audio" for k in synth2._compiled)
+    synth2.synthesize_audio("hi there.", seed=7)
+    synth2("hi there.", seed=7)
+    assert len(synth2._compiled) == n
+
+
+def test_attach_vocoder_drops_stale_fused_executables():
+    """attach_vocoder after serving must invalidate fused audio executables
+    (they close over the previous vocoder's graph) while keeping the mel
+    ones; the next wav request serves the NEW vocoder."""
+    from isp_tts_tpu.config.registry import build_config as bc
+    from isp_tts_tpu.data.text.table import CodingTable
+    from isp_tts_tpu.models.vocoder import VocoderModel, VocoderModelConfig
+
+    charset = ["<pad>", "</s>", "#punct", "#en"]
+    ct = CodingTable.from_charset(charset)
+    geo = {"sample_rate": 22050, "n_fft": 512, "hop_length": 128,
+           "win_length": 512, "f_min": 0.0, "f_max": 8000.0}
+    model = AcousticModel(build_config(AcousticModelConfig, dict(
+        TINY, encoding_map=dict(ct.encoding_map), audio_config=dict(geo))),
+        rngs=nnx.Rngs(0))
+
+    def make_voc(seed):
+        cfg = bc(VocoderModelConfig, {
+            "features": dict(geo, n_mels=16),
+            "generator": {"dim": 16, "intermediate_dim": 32, "num_layers": 1},
+            "discriminator": {"periods": [2], "resolutions": [[64, 16]],
+                              "mpd_channels": [2], "mrd_channels": 2},
+        })
+        return VocoderModel(cfg, rngs=nnx.Rngs(seed))
+
+    synth = Synthesizer(model, SynthesizerConfig(
+        text_buckets=(16,), frame_budgets=(64,), frames_per_token=4.0,
+        steps=1, charset=tuple(charset)), vocoder=make_voc(1))
+    a = synth.synthesize_audio("hi there.", seed=7)[0]
+    mel_keys = {k for k in synth._compiled if k[0] != "audio"}
+    synth.attach_vocoder(make_voc(2))
+    assert all(k[0] != "audio" for k in synth._compiled)
+    assert mel_keys <= set(synth._compiled)
+    b = synth.synthesize_audio("hi there.", seed=7)[0]
+    assert a.shape == b.shape and not np.allclose(a, b, atol=1e-4)
