@@ -276,7 +276,7 @@ class Trainer:
         if self._cached_mode != mode:
             if mode == "train":
                 self.model.train()
-            elif self.config.eval_mode:
+            else:  # reference trainer.py:511: evaluation always runs eval()
                 self.model.eval()
             self._cached_train = nnx.cached_partial(self._train_step_fn, self.model)
             self._cached_eval = nnx.cached_partial(self._eval_step_fn, self.model)
@@ -288,9 +288,11 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def train(self):
-        """Train with the final-save guarantee (reference trainer.py:261-271)."""
+        """Train with the final-save guarantee (reference trainer.py:261-271).
+        Under ``eval_mode``/``do_train: false`` returns the single evaluation
+        pass's metrics instead."""
         try:
-            self._train()
+            return self._train()
         finally:
             if self.state.global_step > 0:
                 self._save_checkpoint(LAST_CHECKPOINT)
@@ -299,6 +301,16 @@ class Trainer:
 
     def _train(self):
         cfg = self.config
+        if not cfg.do_train:
+            # evaluation-only run (reference eval_mode intent,
+            # trainer_config.py:78-82): one eval pass, no optimization
+            logger.warning("`do_train` is False, skipping training.")
+            if cfg.do_eval and self.eval_loader is not None:
+                if not self._steps_built:
+                    self._build_steps()
+                self._maybe_load_checkpoint()
+                return self.evaluate()
+            return None
         if self.train_loader is None:
             raise ValueError("no train dataset")
         if not self._steps_built:
@@ -490,7 +502,9 @@ class Trainer:
     def _track_best_metric(self, means: dict):
         cfg = self.config
         key = cfg.metric_for_best_model
-        if not key:
+        # an eval-only run (eval_mode/do_train: false) measures a model, it
+        # doesn't produce one: never write checkpoint_best from it
+        if not key or not cfg.do_train:
             return
         value = means.get(key)
         if value is None:

@@ -51,7 +51,11 @@ class TrainerConfig:
     eval_steps: int = 50
     eval_first_step: bool = False
     eval_batches: int | None = None
-    eval_mode: bool = True  # model.eval() during evaluation
+    #: evaluation-only run (reference trainer_config.py:78-82 semantics):
+    #: disables training; ``train()`` performs one evaluation pass instead.
+    #: (The reference's own _train halts without evaluating — its help text
+    #: "Run a single evaluation run" documents the intent we implement.)
+    eval_mode: bool = False
 
     # optimization
     optimization: OptimizationConfig = field(default_factory=OptimizationConfig)
@@ -94,6 +98,8 @@ class TrainerConfig:
     #   a v5e; restarts and repeated bucket shapes hit the disk cache
 
     def __post_init__(self):
+        # reference trainer_config.py:302: eval_mode implies no training
+        self.do_train = self.do_train and not self.eval_mode
         if self.eval_batch_size is None:
             self.eval_batch_size = self.batch_size
         parts = [p for p in (self.experiment_name, self.label) if p]

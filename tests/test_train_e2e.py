@@ -193,3 +193,34 @@ def test_profiler_trace_window(toy_root, tmp_path):
     trainer.train()
     profile_dir = trainer.run_dir / "profile"
     assert profile_dir.exists() and any(profile_dir.rglob("*"))
+
+
+def test_eval_mode_runs_single_evaluation_without_training(toy_root, tmp_path):
+    """eval_mode: true (reference trainer_config.py:78-82) = an
+    evaluation-only run: train() performs ONE eval pass, updates no weights,
+    and writes no checkpoints."""
+    import jax
+    from flax import nnx
+
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    modules = ExperimentModules(
+        "acoustic/core", "recipes",
+        overrides=_overrides(toy_root, tmp_path, eval_mode=True,
+                             eval_batches=1),
+    )
+    modules.init_modules()
+    trainer = modules.build_trainer()
+    assert trainer.config.do_train is False
+
+    before = jax.tree.map(np.asarray, nnx.state(trainer.model, nnx.Param))
+    metrics = trainer.train()
+    after = nnx.state(trainer.model, nnx.Param)
+
+    assert metrics and np.isfinite(metrics["eval/loss"])
+    assert "eval/metrics/mcd_13" in metrics
+    assert trainer.state.global_step == 0
+    assert not (trainer.run_dir / "checkpoint_last.ckpt").exists()
+    assert not (trainer.run_dir / "checkpoint_best.ckpt").exists()
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+                 before, after)
