@@ -464,8 +464,13 @@ class Trainer:
     # evaluation
     # ------------------------------------------------------------------
 
-    def evaluate(self) -> dict:
-        if self.eval_loader is None:
+    def evaluate(self, eval_dataset=None) -> dict:
+        """One evaluation pass; ``eval_dataset`` overrides the configured
+        eval split for an ad-hoc run (reference trainer.py:336-341)."""
+        loader = (self._make_loader(eval_dataset, self.config.eval_batch_size,
+                                    shuffle=False)
+                  if eval_dataset is not None else self.eval_loader)
+        if loader is None:
             raise ValueError("evaluate() called without an eval dataset")
         if not self._steps_built:
             self._build_steps()
@@ -473,7 +478,7 @@ class Trainer:
         was_train = self.control.is_train
         self.control.is_train = False
         prev_epoch_step = self.state.epoch_step
-        means = self.run_epoch(self.eval_loader, is_train=False)
+        means = self.run_epoch(loader, is_train=False)
         self.control.is_train = was_train
         self.state.epoch_step = prev_epoch_step
 

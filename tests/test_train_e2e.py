@@ -224,3 +224,8 @@ def test_eval_mode_runs_single_evaluation_without_training(toy_root, tmp_path):
     assert not (trainer.run_dir / "checkpoint_best.ckpt").exists()
     jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
                  before, after)
+
+    # ad-hoc dataset override (reference trainer.py:336-341): evaluate() on
+    # a dataset object directly, bypassing the configured eval split
+    adhoc = trainer.evaluate(eval_dataset=modules.build_dataset("eval"))
+    assert np.isfinite(adhoc["eval/loss"])
