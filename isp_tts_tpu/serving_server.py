@@ -66,7 +66,9 @@ class ServerConfig:
     #: synthesizer's batch buckets — those round the final shape)
     max_batch: int = 32
     #: how long the batcher waits for more requests after the first one
-    #: arrives. Latency floor for a lone request; amortized away under load.
+    #: arrives — but ONLY when there is evidence of concurrency (peers
+    #: already queued, or the previous window coalesced >1). A lone request
+    #: on an idle daemon dispatches immediately and never pays this.
     max_wait_ms: float = 5.0
     #: "wav" (16-bit PCM via the neural vocoder / Griffin-Lim) or "mel"
     default_format: str = "wav"
@@ -235,6 +237,7 @@ class TTSServer:
     def _batch_loop(self) -> None:
         import time
 
+        last_window = 0
         while not self._stopping:
             try:
                 first = self._queue.get(timeout=0.2)
@@ -243,18 +246,39 @@ class TTSServer:
             if first is None:
                 continue
             window = [first]
-            deadline = time.monotonic() + self.config.max_wait_ms / 1e3
+            stop = False
+            # drain requests that are ALREADY queued — costs no latency
             while len(window) < self.config.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
                 try:
-                    nxt = self._queue.get(timeout=remaining)
+                    nxt = self._queue.get_nowait()
                 except queue.Empty:
                     break
                 if nxt is None:
+                    stop = True
                     break
                 window.append(nxt)
+            # open the max_wait_ms batching window only on evidence of
+            # concurrency (peers already queued, or the previous window
+            # coalesced >1): a lone request on an idle daemon dispatches
+            # immediately instead of paying the window as pure latency.
+            # Under load the window re-engages, and usually the drain above
+            # already collects everything that queued during the previous
+            # device call.
+            if not stop and len(window) < self.config.max_batch and (
+                    len(window) > 1 or last_window > 1):
+                deadline = time.monotonic() + self.config.max_wait_ms / 1e3
+                while len(window) < self.config.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._queue.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                    if nxt is None:
+                        break
+                    window.append(nxt)
+            last_window = len(window)
             # one device call per distinct control tuple in the window
             groups: dict[tuple, list[_Pending]] = {}
             for r in window:

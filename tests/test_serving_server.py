@@ -468,3 +468,25 @@ def test_encode_wav_roundtrip():
         assert w.getframerate() == sr and w.getnframes() == 1600
         pcm = np.frombuffer(w.readframes(1600), "<i2").astype(np.float32)
     np.testing.assert_allclose(pcm / 32767.0, audio, atol=1e-4)
+
+
+def test_lone_request_skips_batching_window(server):
+    """A lone request on an idle daemon must dispatch immediately — the
+    max_wait_ms coalescing window only opens on evidence of concurrency
+    (peers queued / previous window >1), so single-stream latency never
+    pays it. A 5 s window with a << 2.5 s response proves the skip."""
+    import time
+
+    srv, _ = server
+    srv2 = TTSServer(srv.synthesizer, port=0, config=ServerConfig(
+        max_batch=8, max_wait_ms=5000.0, default_format="mel"))
+    port2 = srv2.start()
+    try:
+        _post(port2, {"text": "warm."})  # executables already cached
+        t = time.monotonic()
+        status, _, _ = _post(port2, {"text": "solo goes now."})
+        elapsed = time.monotonic() - t
+        assert status == 200
+        assert elapsed < 2.5, f"lone request waited the window: {elapsed:.2f}s"
+    finally:
+        srv2.stop()
