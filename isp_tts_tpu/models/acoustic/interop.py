@@ -190,3 +190,21 @@ def export_torch_config(config: dict) -> dict:
         return node
 
     return fix(config)
+
+
+def import_torch_config(config: dict) -> dict:
+    """Inverse of :func:`export_torch_config`: a reference checkpoint's
+    ``activation: gelu`` means torch ``nn.GELU`` (exact erf) — build with our
+    ``gelu_exact`` so an imported model is numerically faithful, not the
+    tanh approximation (3e-3 absolute apart; test_reference_parity pins the
+    exact flavor)."""
+
+    def fix(node):
+        if isinstance(node, dict):
+            return {k: ("gelu_exact" if k == "activation" and v == "gelu" else fix(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return [fix(v) for v in node]
+        return node
+
+    return fix(config)

@@ -226,6 +226,17 @@ class AcousticModel(Model):
 
     # -- plumbing ------------------------------------------------------------
 
+    @classmethod
+    def convert_torch_checkpoint(cls, config: dict, state: dict) -> tuple[dict, dict]:
+        """Reference ``.pt`` -> our schema: torch parameter names/layouts via
+        the interop converter, and ``activation: gelu`` to our exact-erf
+        flavor (the reference's nn.GELU). Makes
+        ``AcousticModel.from_pretrained("acoustic_en_ipa.pt")`` a faithful
+        one-call import (reference base.py:38-56 contract)."""
+        from .interop import convert_torch_state, import_torch_config
+
+        return import_torch_config(config), convert_torch_state(state)
+
     @staticmethod
     def get_criterion(criterion_cfg: dict):
         from .loss import AcousticModelLoss, AcousticLossConfig

@@ -141,18 +141,32 @@ class Model(nnx.Module):
     # -- pretrained ----------------------------------------------------------
 
     @classmethod
+    def convert_torch_checkpoint(cls, config: dict, state: dict) -> tuple[dict, dict]:
+        """Map a reference torch checkpoint's (config, flat state) onto this
+        model class's schema/parameter tree. Subclasses with a torch interop
+        story override this; the base refuses rather than silently building a
+        fresh-init model from unconverted tensor names."""
+        raise NotImplementedError(
+            f"{cls.__name__} has no torch-checkpoint converter; load a "
+            "native .ckpt or implement convert_torch_checkpoint")
+
+    @classmethod
     def from_pretrained(cls, path: str | Path, **kwargs) -> "Model":
         from ..training.checkpoint import load_checkpoint
 
         ckpt = load_checkpoint(path)
         model_blob = ckpt["model"]
         config_dict = model_blob["config"]
+        state = model_blob["state"]
+        if ckpt.get("format") == "torch":
+            # reference .pt: torch tensor names/layouts -> our tree
+            config_dict, state = cls.convert_torch_checkpoint(config_dict, state)
         from ..config.registry import build_config
 
         config = build_config(cls.Config, config_dict)
         rngs = kwargs.pop("rngs", None) or nnx.Rngs(0)
         model = cls(config, rngs=rngs, **kwargs)
-        model.load_params(model_blob["state"])
+        model.load_params(state)
         return model
 
     def save_pretrained(self, path: str | Path, extra: dict | None = None) -> None:

@@ -614,9 +614,10 @@ class Trainer:
         ignore = list(cfg.ignore_layers) if cfg.warm_start else []
         state = ckpt["model"]["state"]
         if ckpt.get("format") == "torch":
-            from ..models.acoustic.interop import convert_torch_state
-
-            state = convert_torch_state(state)
+            # model-class-appropriate name/layout mapping (the model is
+            # already built, so the returned config is not used here)
+            _, state = type(self.model).convert_torch_checkpoint(
+                ckpt["model"].get("config", {}), state)
         self.model.load_params(state, ignore_layers=ignore,
                                ignore_mismatched=cfg.ignore_mismatched_keys)
         logger.info("loaded model weights from %s (warm_start=%s)", path, cfg.warm_start)

@@ -120,3 +120,43 @@ def test_torch_pt_checkpoint_load(tmp_path):
     some = [k for k in converted][:5]
     for k in some:
         assert np.all(sd[k] == converted[k])
+
+
+def test_from_pretrained_on_torch_pt(tmp_path):
+    """The README-advertised one-call import: AcousticModel.from_pretrained
+    on a reference-format .pt must CONVERT the torch names/layouts (not warn
+    them away and return a fresh init) and build with the exact-erf GELU the
+    reference's nn.GELU means (base.py:38-56 + interop activation mapping)."""
+    torch = pytest.importorskip("torch")
+
+    cfg = build_config(AcousticModelConfig, TINY)
+    model = AcousticModel(cfg, rngs=nnx.Rngs(0))
+    flat = _strip_buffers(model.state_dict())
+    torch_state = {k: torch.from_numpy(np.ascontiguousarray(v))
+                   for k, v in _to_torch_names(flat).items()}
+    path = tmp_path / "ref.pt"
+    torch.save({"model": {"config": dict(TINY), "state_dict": torch_state}}, path)
+
+    loaded = AcousticModel.from_pretrained(path)
+    sd = loaded.state_dict()
+    for k, v in flat.items():
+        np.testing.assert_array_equal(np.asarray(sd[k]), np.asarray(v), err_msg=k)
+    # "gelu" in a torch checkpoint means exact erf
+    ff = loaded.config.encoder.transformer_layer.feed_forward
+    assert ff.activation == "gelu_exact"
+
+
+def test_from_pretrained_torch_pt_unknown_model(tmp_path):
+    """A model class without a torch converter refuses a .pt instead of
+    silently fresh-initialising."""
+    torch = pytest.importorskip("torch")
+
+    from isp_tts_tpu.models.base import Model
+
+    class Opaque(Model):
+        Config = AcousticModelConfig
+
+    path = tmp_path / "x.pt"
+    torch.save({"model": {"config": dict(TINY), "state_dict": {}}}, path)
+    with pytest.raises(NotImplementedError):
+        Opaque.from_pretrained(path)
