@@ -309,3 +309,19 @@ def test_loss_parity(models, monkeypatch):
             float(our_losses[key]), float(ref_losses[key]), atol=2e-4,
             err_msg=key)
     np.testing.assert_allclose(float(our_loss), float(ref_loss), atol=5e-4)
+
+
+@pytest.mark.slow
+def test_parity_harness_self_test():
+    """tools/parity_vs_pretrained.py --self-test: the one-command harness for
+    real pretrained checkpoints stays runnable (it patches torch/jax RNG
+    module-globally, so it runs as a subprocess)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    tool = Path(__file__).resolve().parent.parent / "tools" / "parity_vs_pretrained.py"
+    proc = subprocess.run([sys.executable, str(tool), "--self-test"],
+                          capture_output=True, text=True, timeout=540)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PARITY: PASS" in proc.stdout
