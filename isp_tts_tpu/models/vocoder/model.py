@@ -218,6 +218,32 @@ class VocoderModel(Model):
             return load_torch_vocoder(path, **kwargs)
         return super().from_pretrained(path, **kwargs)
 
+    @classmethod
+    def convert_torch_checkpoint(cls, config: dict, state: dict):
+        """Torch Vocos state dict -> our (config, flat state); the hook the
+        Trainer's warm-start path dispatches to for torch ``.pt`` files
+        (mirrors ``from_pretrained``'s ``load_torch_vocoder`` route)."""
+        from .interop import convert_vocos_state, infer_generator_config
+
+        flat = convert_vocos_state(state)
+        if "generator.embed.kernel" not in flat:
+            raise ValueError(
+                "torch checkpoint has no Vocos backbone; cannot convert "
+                f"(keys: {sorted(state)[:5]}...)")
+        feats = dict((config or {}).get("features") or {})
+        hop = int(feats.get("hop_length", 256))
+        gen_cfg = infer_generator_config(flat, hop)
+        feats = {
+            "sample_rate": int(feats.get("sample_rate", 22050)),
+            "n_fft": gen_cfg["n_fft"],
+            "hop_length": hop,
+            "win_length": gen_cfg["n_fft"],
+            "n_mels": gen_cfg["n_mels"],
+            "f_min": float(feats.get("f_min", 0.0)),
+            "f_max": feats.get("f_max", 8000.0),
+        }
+        return {"generator": gen_cfg, "features": feats}, flat
+
     def prepare_inputs(self, batch: dict) -> dict:
         return {"audio": batch["audio"]}
 

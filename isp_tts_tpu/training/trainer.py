@@ -65,6 +65,10 @@ class Accumulator:
 
     def __init__(self):
         self.values: dict[str, list] = {}
+        #: non-finite samples dropped from the means since the last reset —
+        #: surfaced as ``stats/nonfinite`` instead of silently thinning the
+        #: average (a NaN loss must scream, not vanish)
+        self.nonfinite = 0
 
     def add(self, metrics: dict) -> None:
         for k, v in metrics.items():
@@ -72,14 +76,27 @@ class Accumulator:
 
     def means(self) -> dict:
         out = {}
+        dropped: dict[str, int] = {}
         for k, vals in self.values.items():
             floats = [f for f in map(float, vals) if np.isfinite(f)]
+            bad = len(vals) - len(floats)
+            if bad:
+                dropped[k] = bad
             if floats:
                 out[k] = sum(floats) / len(floats)
+        if dropped:
+            # idempotent across repeated means() calls on the same window
+            self.nonfinite = sum(dropped.values())
+            logger.warning(
+                "Accumulator: dropped %d non-finite metric value(s) from the "
+                "logged means: %s", sum(dropped.values()),
+                ", ".join(f"{k} x{n}" for k, n in sorted(dropped.items())))
+            out["stats/nonfinite"] = float(self.nonfinite)
         return out
 
     def reset(self) -> None:
         self.values.clear()
+        self.nonfinite = 0
 
 
 class Trainer:
@@ -95,7 +112,19 @@ class Trainer:
 
         # --- mesh / process topology (the Accelerate-equivalent) ---
         devices = jax.devices()[:config.num_devices] if config.num_devices else None
-        self.mesh = make_mesh(data=-1, model=config.mesh_model_axis, devices=devices)
+        self.mesh = make_mesh(data=-1, model=config.mesh_model_axis,
+                              seq=config.mesh_seq_axis,
+                              stage=config.mesh_pipeline_axis, devices=devices)
+        # publish the live axes so Attention(flash="ring") / pipelined
+        # Transformers pick the strategy up at trace time (strategy = config,
+        # like the reference's Accelerate prepare, trainer.py:203)
+        from ..parallel.context import ParallelContext, set_parallel_context
+
+        set_parallel_context(ParallelContext(
+            mesh=self.mesh,
+            seq_axis="seq" if config.mesh_seq_axis > 1 else None,
+            stage_axis="stage" if config.mesh_pipeline_axis > 1 else None,
+            n_micro=config.pipeline_microbatches))
         self.num_processes = jax.process_count()
         self.process_index = jax.process_index()
         self.is_main_process = self.process_index == 0

@@ -89,7 +89,8 @@ def _encode(config: dict, text: str):
 
 def run(pt: Path, text: str, steps: int, speaker: int | None,
         duration_factor: float, pitch_factor: float, tol_mel: float,
-        tol_feat: float, tokens: np.ndarray | None = None) -> int:
+        tol_feat: float, tokens: np.ndarray | None = None,
+        allow_no_ref: bool = False) -> int:
     import torch
     from reference_shims import import_reference
 
@@ -122,10 +123,27 @@ def run(pt: Path, text: str, steps: int, speaker: int | None,
              for k, v in ckpt["model"]["state"].items()}, strict=False)
         if missing:
             print(f"[ref] {len(missing)} keys kept at init: {missing[:4]} ...")
+        if unexpected:
+            # Unexpected keys mean the .pt does not match the architecture the
+            # config built — the torch baseline would run partly fresh-init and
+            # the comparison would be against a WRONG baseline. Hard error.
+            print(f"[ref] {len(unexpected)} checkpoint keys the reference "
+                  f"model does not have: {unexpected[:4]} ...")
+            print("FAIL: checkpoint/architecture mismatch on the reference "
+                  "side — refusing to compare against a partly-fresh baseline")
+            return 1
         ref.eval()
     except Exception as e:  # noqa: BLE001
         print(f"[ref] reference source not loadable here ({type(e).__name__}: "
-              f"{e}); running our-side sanity only")
+              f"{e})")
+        if not allow_no_ref:
+            # A parity run whose reference side silently failed must not
+            # exit 0 — CI consuming the exit code would read it as PASS.
+            print("FAIL: reference side unavailable; pass --allow-no-ref to "
+                  "run an our-side sanity check only (exits 0 without any "
+                  "parity claim)")
+            return 1
+        print("[ref] --allow-no-ref: running our-side sanity only")
 
     if tokens is None:
         tokens = _encode(config, text)
@@ -163,9 +181,20 @@ def run(pt: Path, text: str, steps: int, speaker: int | None,
 
     rows = [
         ("durations", np.asarray(our_ad.duration), ref_ad.duration.numpy(), tol_feat),
-        ("pitch", np.asarray(our_ad.pitch), ref_ad.pitch.numpy(), tol_feat),
         ("mel", mel_np[:, :L], ref_mel.transpose(1, 2).numpy()[:, :L], tol_mel),
     ]
+    # pitch is Optional on both sides (reference temporal_adaptor.py:178):
+    # a checkpoint with pitch disabled yields None — skip the row cleanly.
+    if ref_ad.pitch is not None and our_ad.pitch is not None:
+        rows.insert(1, ("pitch", np.asarray(our_ad.pitch),
+                        ref_ad.pitch.numpy(), tol_feat))
+    elif (ref_ad.pitch is None) != (our_ad.pitch is None):
+        print(f"FAIL pitch presence: ours "
+              f"{'set' if our_ad.pitch is not None else 'None'} vs reference "
+              f"{'set' if ref_ad.pitch is not None else 'None'}")
+        return 1
+    else:
+        print("pitch: n/a (disabled in this checkpoint)")
     ok = our_L == L
     if not ok:
         print(f"FAIL dec_len: ours {our_L} vs reference {L}")
@@ -219,6 +248,10 @@ def main() -> int:
                    "more than the tiny self-test's 1e-4")
     p.add_argument("--tol-feat", type=float, default=1e-3)
     p.add_argument("--self-test", action="store_true")
+    p.add_argument("--allow-no-ref", action="store_true",
+                   help="when the in-tree reference source cannot be loaded, "
+                   "run an our-side sanity check and exit 0 instead of "
+                   "failing (no parity claim is made)")
     args = p.parse_args()
     if args.self_test:
         import tempfile
@@ -229,7 +262,7 @@ def main() -> int:
         p.error("--pt or --self-test required")
     return run(args.pt, args.text, args.steps, args.speaker,
                args.duration_factor, args.pitch_factor,
-               args.tol_mel, args.tol_feat)
+               args.tol_mel, args.tol_feat, allow_no_ref=args.allow_no_ref)
 
 
 if __name__ == "__main__":
