@@ -110,8 +110,11 @@ class Model(nnx.Module):
         - shape-mismatched tensors are skipped with a warning when
           ``ignore_mismatched``
         - missing keys keep their fresh-init values
+        - per-layer transformer checkpoints load into stacked (``pipeline:
+          true``) models and vice versa (``_translate_layer_stacking``)
         """
         current = self.state_dict()
+        flat = _translate_layer_stacking(flat, current)
         accepted: dict[str, Any] = {}
         for key, value in flat.items():
             if ignore_layers and any(il in key for il in ignore_layers):
@@ -182,6 +185,48 @@ class Model(nnx.Module):
             },
             **(extra or {}),
         })
+
+
+def _translate_layer_stacking(flat: dict, current: dict) -> dict:
+    """Convert transformer layer-stack layouts between per-layer
+    (``X.layers.<i>.Y``) and stacked (``X.stack.Y`` with a leading depth
+    axis, ``TransformerConfig.pipeline``) so checkpoints move freely between
+    dp/tp-trained and pp-trained configurations of the same model.
+
+    ``flat`` is the checkpoint, ``current`` the live model's state dict;
+    only keys the model expects but the checkpoint lacks are synthesized,
+    and fully-consumed source keys are dropped (so they do not show up as
+    "unexpected key" warnings)."""
+    import re
+
+    out = dict(flat)
+    consumed: set[str] = set()
+    for key, cur in current.items():
+        if key in out:
+            continue
+        if ".stack." in key:
+            # stacked model <- per-layer checkpoint
+            prefix, suffix = key.split(".stack.", 1)
+            depth = int(np.shape(cur)[0])
+            sources = [f"{prefix}.layers.{i}.{suffix}" for i in range(depth)]
+            if all(s in out for s in sources):
+                out[key] = np.stack([np.asarray(out[s]) for s in sources])
+                consumed.update(sources)
+            continue
+        m = re.match(r"(.*)\.layers\.(\d+)\.(.*)", key)
+        if m:
+            # per-layer model <- stacked checkpoint
+            src = f"{m.group(1)}.stack.{m.group(3)}"
+            if src in out and np.ndim(out[src]) == np.ndim(cur) + 1:
+                out[key] = np.asarray(out[src])[int(m.group(2))]
+                consumed.add(src)
+    for s in consumed:
+        out.pop(s, None)
+    if consumed:
+        logger.info("load_params: translated %d transformer layer-stack "
+                    "tensors between per-layer and stacked layouts",
+                    len(consumed))
+    return out
 
 
 def _pure(state) -> dict:

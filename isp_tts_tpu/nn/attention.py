@@ -43,7 +43,12 @@ class AttentionConfig:
     alibi_pos_bias: bool = False
     alibi_heads: int | None = None
     alibi_symmetric: bool = True
-    flash: str = "auto"  # auto | on | off — fused Pallas kernel w/ in-kernel ALiBi
+    #: auto | on | off | ring — "on"/"auto" pick the fused Pallas kernel;
+    #: "ring" runs sequence-parallel ring attention over the parallel
+    #: context's seq mesh axis (ops/ring_attention.py) and falls back to
+    #: "auto" dispatch when no seq axis is active (so an sp-trained
+    #: checkpoint serves unchanged on a single chip)
+    flash: str = "auto"
 
 
 class Attention(nnx.Module):
@@ -149,6 +154,16 @@ class Attention(nnx.Module):
         drop_active = drop_rate > 0.0 and not self.dropout.deterministic
 
         use_flash = self.config.flash
+        if use_flash == "ring":
+            out = self._maybe_ring(q_nhd, k, v, mask, context, attention_mask,
+                                   cache, key_mask, drop_rate, drop_active)
+            if out is not None:
+                out = out.reshape(b, n, self.heads * self.head_dim)
+                out = self.to_out(out)
+                if mask is not None:
+                    out = out * mask[..., None].astype(out.dtype)
+                return out, shared_bias, new_cache
+            use_flash = "auto"  # no seq axis / unsupported call: local dispatch
         if use_flash == "auto":
             use_flash = (
                 "on"
@@ -182,18 +197,7 @@ class Attention(nnx.Module):
                 "masking only); use flash='auto' or 'off'")
         if use_flash == "on":
             # fused Pallas path: ALiBi recomputed from slopes in-kernel
-            if self.rel_pos is not None:
-                slopes = jnp.exp(self.rel_pos.log_slopes.value)
-                if self.rel_pos.symmetric:
-                    s = slopes[:, 0, 0]
-                    s = jnp.pad(s, (0, self.heads - s.shape[0]))
-                    slopes2 = jnp.stack([s, s])
-                else:
-                    lo = jnp.pad(slopes[0, :, 0, 0], (0, self.heads - slopes.shape[1]))
-                    hi = jnp.pad(slopes[1, :, 0, 0], (0, self.heads - slopes.shape[1]))
-                    slopes2 = jnp.stack([lo, hi])
-            else:
-                slopes2 = jnp.zeros((2, self.heads), jnp.float32)
+            slopes2 = self._slopes2()
             key_lens = (jnp.sum(key_mask.astype(jnp.int32), axis=-1)
                         if key_mask is not None
                         else jnp.full((b,), m, jnp.int32))
@@ -244,3 +248,64 @@ class Attention(nnx.Module):
         if mask is not None:
             out = out * mask[..., None].astype(out.dtype)
         return out, shared_bias, new_cache
+
+    def _slopes2(self) -> jnp.ndarray:
+        """(2, heads) [lower, upper] ALiBi slopes for the in-kernel paths
+        (flash + ring); zeros when no relative bias is configured."""
+        if self.rel_pos is None:
+            return jnp.zeros((2, self.heads), jnp.float32)
+        slopes = jnp.exp(self.rel_pos.log_slopes.value)
+        if self.rel_pos.symmetric:
+            s = slopes[:, 0, 0]
+            s = jnp.pad(s, (0, self.heads - s.shape[0]))
+            return jnp.stack([s, s])
+        lo = jnp.pad(slopes[0, :, 0, 0], (0, self.heads - slopes.shape[1]))
+        hi = jnp.pad(slopes[1, :, 0, 0], (0, self.heads - slopes.shape[1]))
+        return jnp.stack([lo, hi])
+
+    def _maybe_ring(self, q_nhd, k, v, mask, context, attention_mask, cache,
+                    key_mask, drop_rate, drop_active):
+        """Sequence-parallel dispatch for ``flash="ring"``.
+
+        Returns the (B, N, H, D) attention output when the active
+        :class:`~isp_tts_tpu.parallel.context.ParallelContext` has a live
+        ``seq`` mesh axis and the call shape supports ring execution
+        (self-attention, no explicit mask/cache, sequence divisible by the
+        axis); ``None`` means "fall back to local dispatch" — which is how
+        the same config serves on a single chip with zero changes.
+        """
+        from ..parallel.context import get_parallel_context
+
+        ctx = get_parallel_context()
+        if ctx.mesh is None or ctx.seq_axis is None \
+                or ctx.seq_axis not in ctx.mesh.shape:
+            return None
+        b, n = q_nhd.shape[0], q_nhd.shape[1]
+        m = k.shape[2]
+        seq_size = ctx.mesh.shape[ctx.seq_axis]
+        if (context is not None or attention_mask is not None
+                or cache is not None or n != m
+                or n % seq_size != 0):
+            logger.warning(
+                "flash='ring': call not ring-compatible (cross-attention, "
+                "explicit mask, KV cache, or seq %d %% %d != 0) — falling "
+                "back to local attention for this layer", n, seq_size)
+            return None
+
+        from ..ops.ring_attention import ring_attention_sharded
+
+        key_lens = (jnp.sum(key_mask.astype(jnp.int32), axis=-1)
+                    if key_mask is not None
+                    else jnp.full((b,), m, jnp.int32))
+        q_lens = (jnp.sum(mask.astype(jnp.int32), axis=-1)
+                  if mask is not None else None)
+        seed = (jax.random.randint(self.dropout.rngs.dropout(), (),
+                                   0, 2**31 - 1, jnp.int32)
+                if drop_active else None)
+        out = ring_attention_sharded(
+            q_nhd.transpose(0, 2, 1, 3), k, v, self._slopes2(), key_lens,
+            self.scale, mesh=ctx.mesh, axis_name=ctx.seq_axis,
+            offset=m - n, q_lens=q_lens, causal=self.causal,
+            dropout_rate=(drop_rate if drop_active else 0.0),
+            dropout_seed=seed)
+        return out.transpose(0, 2, 1, 3)

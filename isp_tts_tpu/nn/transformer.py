@@ -103,6 +103,16 @@ class TransformerConfig:
     use_abs_pos_emb: bool = True
     adaptive_norm: bool = False
     condition_dim: int | None = None
+    #: pipeline-parallel layer stack: parameters are stored STACKED with a
+    #: leading ``depth`` axis (state path ``stack.*``) so the trainer can
+    #: shard them over a "stage" mesh axis (each device holds only its own
+    #: stages — the PP memory win) and stream microbatches through a GPipe
+    #: schedule (parallel/pipeline.py). With no live stage axis the same
+    #: stacked model runs layer-by-layer on one device with identical
+    #: numerics, so pp-trained checkpoints serve anywhere; checkpoints
+    #: interconvert with per-layer layouts via models/base.py's
+    #: stack translation.
+    pipeline: bool = False
 
 
 class Transformer(nnx.Module):
@@ -118,12 +128,27 @@ class Transformer(nnx.Module):
             TransformerLayerConfig, _as_dict(cfg.transformer_layer),
             dim=cfg.dim, adaptive_norm=cfg.adaptive_norm, condition_dim=cfg.condition_dim,
         )
-        self.layers = nnx.List(
-            [TransformerLayer(layer_cfg, rngs=rngs) for _ in range(cfg.depth)]
-        )
+        if cfg.pipeline:
+            # stacked storage: one TransformerLayer whose parameters carry a
+            # leading (depth,) axis, built by vmapping the constructor —
+            # shardable over a "stage" mesh axis by parallel/mesh.shard_params
+            @nnx.split_rngs(splits=cfg.depth)
+            @nnx.vmap(in_axes=0, out_axes=0)
+            def make_stack(rngs):
+                return TransformerLayer(layer_cfg, rngs=rngs)
+
+            self.stack = make_stack(rngs)
+            self.layers = None
+            self.rngs = rngs  # per-step base key for pipelined dropout
+            first_layer = self.stack
+        else:
+            self.layers = nnx.List(
+                [TransformerLayer(layer_cfg, rngs=rngs) for _ in range(cfg.depth)]
+            )
+            first_layer = self.layers[0]
 
         pre_norm = layer_cfg.pre_norm
-        has_rel_pos = self.layers[0].attention.rel_pos is not None
+        has_rel_pos = first_layer.attention.rel_pos is not None
         self.use_abs_pos_emb = cfg.use_abs_pos_emb and not has_rel_pos
         from .policy import get_compute_dtype
 
@@ -151,20 +176,123 @@ class Transformer(nnx.Module):
 
         shared_bias = None
         new_caches = []
-        for i, layer in enumerate(self.layers):
-            x, shared_bias, layer_cache = layer(
-                x, mask=mask, context=context, context_mask=context_mask,
-                attention_mask=attention_mask, adaptive_condition=adaptive_condition,
-                shared_bias=shared_bias,
-                cache=cache[i] if cache is not None else None,
-            )
-            if return_cache:
-                new_caches.append(layer_cache)
+        if self.layers is None:  # stacked / pipelined storage
+            if (context is not None or attention_mask is not None
+                    or adaptive_condition is not None or cache is not None
+                    or return_cache):
+                raise ValueError(
+                    "pipeline=True transformers support self-attention with "
+                    "a padding mask only (no cross-attention / explicit "
+                    "attention masks / AdaLN / KV caches)")
+            x = self._stacked_forward(x, mask)
+        else:
+            for i, layer in enumerate(self.layers):
+                x, shared_bias, layer_cache = layer(
+                    x, mask=mask, context=context, context_mask=context_mask,
+                    attention_mask=attention_mask, adaptive_condition=adaptive_condition,
+                    shared_bias=shared_bias,
+                    cache=cache[i] if cache is not None else None,
+                )
+                if return_cache:
+                    new_caches.append(layer_cache)
         if self.norm is not None:
             x = self.norm(x)
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
         return TransformerOutput(out=x, cache=new_caches if return_cache else None)
+
+    # -- pipelined layer stack -------------------------------------------------
+
+    def _stacked_forward(self, x: jnp.ndarray, mask) -> jnp.ndarray:
+        """Run the stacked layer stack: a GPipe schedule over the parallel
+        context's stage axis when one is live, else the same computation
+        layer-by-layer on the local device.
+
+        Dropout keys are ``fold_in(base, layer * n_micro + microbatch)`` of a
+        per-step base drawn from the module's own stream — a scheme that is
+        invariant to the stage-axis size, so an S-stage run drops exactly
+        what the single-device run drops (asserted by dryrun_multichip's
+        dp x pp phase).
+        """
+        import jax
+
+        from ..parallel.context import get_parallel_context
+        from ..parallel.pipeline import microbatch, pipeline_apply
+
+        ctx = get_parallel_context()
+        S = self.config.depth
+        B = x.shape[0]
+        n_micro = ctx.n_micro if ctx.n_micro > 0 and B % ctx.n_micro == 0 else 1
+
+        graphdef, rng_state, params = nnx.split(self.stack, nnx.RngState, ...)
+        pure = (nnx.to_pure_dict(params) if hasattr(nnx, "to_pure_dict")
+                else params.to_pure_dict())
+        base = self.rngs.dropout()
+
+        def apply_layer(pure_slice, rngs_tree, key, h, mask_mb):
+            def fix(leaf):
+                if hasattr(leaf, "dtype") and jnp.issubdtype(
+                        leaf.dtype, jax.dtypes.prng_key):
+                    return key
+                return jnp.zeros_like(leaf)  # stream counts restart at 0
+            layer = nnx.merge(graphdef, jax.tree.map(fix, rngs_tree), pure_slice)
+            out, _, _ = layer(h, mask=mask_mb)
+            return out
+
+        xm = microbatch(x, n_micro)
+        maskm = microbatch(mask, n_micro) if mask is not None else None
+
+        stage_axis = ctx.stage_axis
+        use_pipeline = (stage_axis is not None and ctx.mesh is not None
+                        and stage_axis in ctx.mesh.shape)
+        if use_pipeline:
+            n_stages = ctx.mesh.shape[stage_axis]
+            if S % n_stages:
+                raise ValueError(
+                    f"depth {S} not divisible by stage axis {n_stages}")
+            L_per = S // n_stages
+            from jax.sharding import PartitionSpec as P
+
+            # every traced value the schedule touches rides in through
+            # in_specs (shard_map does not capture traced closures): the
+            # stacked params shard stage-wise, everything else replicates
+            # over the stage axis (batch stays auto-sharded over "data")
+            def mapped(local_params, xm, maskm, base, rngs_tree):
+                def stage_fn(lp, h, t):
+                    stage = jax.lax.axis_index(stage_axis)
+                    mb = jnp.clip(t - stage, 0, n_micro - 1)
+                    mask_mb = (jax.lax.dynamic_index_in_dim(
+                        maskm, mb, 0, keepdims=False)
+                        if maskm is not None else None)
+                    for jj in range(L_per):
+                        g = stage * L_per + jj  # global layer index
+                        key = jax.random.fold_in(base, g * n_micro + mb)
+                        h = apply_layer(
+                            jax.tree.map(lambda a: a[jj], lp),
+                            rngs_tree, key, h, mask_mb)
+                    return h
+                return pipeline_apply(stage_fn, local_params, xm,
+                                      axis_name=stage_axis, with_tick=True)
+
+            out = jax.shard_map(
+                mapped, mesh=ctx.mesh, axis_names={stage_axis},
+                in_specs=(P(stage_axis), P(), P(), P(), P()),
+                out_specs=P())(pure, xm, maskm, base, rng_state)
+        else:
+            # local execution of the same schedule (e.g. serving a
+            # pp-trained checkpoint on one chip): identical (layer, mb)
+            # dropout folds, identical math, no collectives
+            outs = []
+            for mb in range(n_micro):
+                h = xm[mb]
+                mask_mb = maskm[mb] if maskm is not None else None
+                for g in range(S):
+                    key = jax.random.fold_in(base, g * n_micro + mb)
+                    h = apply_layer(jax.tree.map(lambda a, g=g: a[g], pure),
+                                    rng_state, key, h, mask_mb)
+                outs.append(h)
+            out = jnp.stack(outs)
+        return out.reshape((B,) + x.shape[1:])
 
 
 def _as_dict(cfg) -> dict:

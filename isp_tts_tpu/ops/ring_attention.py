@@ -34,7 +34,8 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                    slopes: jnp.ndarray, key_lens: jnp.ndarray,
                    scale: float, *, axis_name: str, offset: int = 0,
                    q_lens: jnp.ndarray | None = None, causal: bool = False,
-                   remat: bool = True) -> jnp.ndarray:
+                   remat: bool = True, dropout_rate: float = 0.0,
+                   dropout_seed: jnp.ndarray | None = None) -> jnp.ndarray:
     """Sequence-parallel attention; call INSIDE ``shard_map``.
 
     Args:
@@ -53,6 +54,14 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
       causal: mask key positions > query position + offset.
       remat: checkpoint each ring step (recompute chunk logits in the
         backward instead of saving n_shards blocks of (n_local, m_local)).
+      dropout_rate / dropout_seed: post-softmax probability dropout
+        (reference attend.py semantics, same 8-bit keep quantization as the
+        flash kernels). The keep mask is a counter hash of GLOBAL
+        (b, h, query, key) coordinates + seed, so it is invariant to the
+        ring shard count — training on a seq=4 mesh drops exactly the same
+        probabilities as seq=1, which is what lets ``dryrun_multichip``
+        assert sharded == single-device under live dropout. ``dropout_seed``
+        is a replicated int32 scalar.
 
     Returns:
       (B, H, n_local, D) attention output for the local queries.
@@ -68,6 +77,17 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     slopes_lo = slopes[0].astype(jnp.float32)[:, None, None]  # (H, 1, 1)
     slopes_hi = slopes[1].astype(jnp.float32)[:, None, None]
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    drop_active = dropout_rate > 0.0 and dropout_seed is not None
+    if drop_active:
+        from .flash_attention import _keep_hash, dropout_thresh
+
+        thresh = dropout_thresh(dropout_rate)
+        if thresh >= 256:
+            drop_active = False  # sub-1/512 rate quantizes to a no-op
+        N_global = n_shards * n_local
+        M_global = n_shards * m_local
+        inv_keep = 1.0 / (1.0 - dropout_rate)
 
     def accumulate(k_c, v_c, m, l, o, t):
         """Fold the chunk held at ring step ``t`` into the online softmax."""
@@ -97,7 +117,16 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         p = jnp.exp(s - m_new)
         p = jnp.where(valid, p, 0.0)  # fully-masked rows: keep l at 0
         alpha = jnp.exp(m - m_new)
+        # the softmax NORMALIZER accumulates undropped weights (dropout acts
+        # on the normalized probabilities, not the logits)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        if drop_active:
+            bh = jnp.arange(B)[:, None, None, None] * H + \
+                jnp.arange(H)[None, :, None, None]
+            idx = (bh * N_global + rows[None, None, :, None]) * M_global \
+                + cols[None, None, None, :]
+            keep = _keep_hash(idx, dropout_seed, thresh)
+            p = jnp.where(keep, p, 0.0)
         if multi_query:
             pv = jnp.einsum("bhnm,bmd->bhnd", p, v_c[:, 0].astype(jnp.float32))
         else:
@@ -129,4 +158,55 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if q_lens is not None:
         ok = ok & (rows[None, None, :] < q_lens[:, None, None])
     out = o / jnp.maximum(l, 1e-30)
+    if drop_active:
+        out = out * jnp.float32(inv_keep)
     return jnp.where(ok[..., None], out, 0.0).astype(q.dtype)
+
+
+def ring_attention_sharded(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                           slopes: jnp.ndarray, key_lens: jnp.ndarray,
+                           scale: float, *, mesh, axis_name: str,
+                           offset: int = 0,
+                           q_lens: jnp.ndarray | None = None,
+                           causal: bool = False, remat: bool = True,
+                           dropout_rate: float = 0.0,
+                           dropout_seed: jnp.ndarray | None = None
+                           ) -> jnp.ndarray:
+    """:func:`ring_attention` wrapped for use INSIDE a jitted model forward.
+
+    Partial-manual ``shard_map``: manual over ``axis_name`` only — every
+    other mesh axis (the trainer's ``data`` batch axis, a ``model`` TP
+    axis) stays in GSPMD auto mode, so this drops into the middle of the
+    nnx.jit train step and composes with the existing dp x tp sharding.
+    This is the dispatch target of ``Attention(flash="ring")``
+    (`nn/attention.py`) — the recipe-level switch that makes sequence
+    parallelism a config property like the reference's Accelerate strategy
+    (`/root/reference/tts/experiments/trainer.py:203`).
+
+    ``q`` is (B, H, N, D) GLOBAL (sequence axis unsharded in the caller's
+    view); in/out specs shard dim 2 over ``axis_name``. N and M must divide
+    by the axis size — the caller guards and falls back.
+    """
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    seq_spec = P(None, None, axis_name, None)
+    fn = partial(ring_attention, scale=scale, axis_name=axis_name,
+                 offset=offset, causal=causal, remat=remat,
+                 dropout_rate=dropout_rate)
+
+    if q_lens is None:
+        q_lens = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((), jnp.int32)  # unused when rate == 0
+
+    def mapped(q, k, v, slopes, key_lens, q_lens, seed):
+        return fn(q, k, v, slopes, key_lens, q_lens=q_lens,
+                  dropout_seed=seed)
+
+    return jax.shard_map(
+        mapped, mesh=mesh, axis_names={axis_name},
+        in_specs=(seq_spec, seq_spec, seq_spec, P(), P(), P(), P()),
+        out_specs=seq_spec,
+    )(q, k, v, slopes, key_lens, q_lens, dropout_seed)

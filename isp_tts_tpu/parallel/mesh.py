@@ -21,17 +21,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
-    """Build a ("data", "model") mesh. ``data=-1`` uses all remaining chips."""
+def make_mesh(data: int = -1, model: int = 1, seq: int = 1, stage: int = 1,
+              devices=None) -> Mesh:
+    """Build a ("data", "model", "seq", "stage") mesh.
+
+    ``data=-1`` uses all remaining chips. Size-1 axes are free (they shard
+    nothing) — every mesh carries all four names so the downstream sharding
+    specs (batch over "data", TP rules over "model", ring attention over
+    "seq", the GPipe schedule over "stage") are uniform across dp / dp x tp /
+    dp x sp / dp x pp topologies.
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
+    per_data = model * seq * stage
     if data == -1:
-        if n % model != 0:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
+        if n % per_data != 0:
+            raise ValueError(
+                f"{n} devices not divisible by model*seq*stage={per_data}")
+        data = n // per_data
+    if data * per_data != n:
+        raise ValueError(f"mesh {data}x{model}x{seq}x{stage} != {n} devices")
+    return Mesh(devices.reshape(data, model, seq, stage),
+                axis_names=("data", "model", "seq", "stage"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -105,6 +116,7 @@ def shard_params(state, mesh: Mesh, rules: list[tuple[str, P]] | None = None):
 
     rules = DEFAULT_TP_RULES if rules is None else rules
     model_size = mesh.shape.get("model", 1)
+    stage_size = mesh.shape.get("stage", 1)
 
     multiprocess = jax.process_count() > 1
 
@@ -113,6 +125,11 @@ def shard_params(state, mesh: Mesh, rules: list[tuple[str, P]] | None = None):
         name = _path_str(path)
         if name.endswith(".value"):  # Variable leaf attribute
             name = name[: -len(".value")]
+        # pipelined transformers store their layer stack with a leading
+        # stage axis (`<...>.stack.<...>`, see nn/transformer.py) — shard
+        # that axis over "stage" so each device holds only its own stages'
+        # parameters (the PP memory win), and shift any TP rule right by one
+        stacked = stage_size > 1 and ".stack." in name
         if model_size > 1:
             for pattern, candidate in rules:
                 if re.search(pattern, name):
@@ -121,9 +138,12 @@ def shard_params(state, mesh: Mesh, rules: list[tuple[str, P]] | None = None):
             # verify divisibility; fall back to replication
             dims = tuple(spec)
             for axis, p_axis in enumerate(dims):
-                if p_axis == "model" and leaf.shape[axis] % model_size != 0:
+                if p_axis == "model" and leaf.shape[axis + stacked] % model_size != 0:
                     spec = P()
                     break
+        if stacked and hasattr(leaf, "ndim") and leaf.ndim >= 1 \
+                and leaf.shape[0] % stage_size == 0:
+            spec = P(*(("stage",) + tuple(spec)))
         sharding = NamedSharding(mesh, spec)
         if multiprocess:
             # device_put rejects shardings spanning non-addressable devices;

@@ -29,12 +29,17 @@ from ..utils.jax_compat import pvary
 
 
 def pipeline_apply(layer_fn: Callable, stage_params, x: jnp.ndarray,
-                   *, axis_name: str, remat: bool = True) -> jnp.ndarray:
+                   *, axis_name: str, remat: bool = True,
+                   with_tick: bool = False) -> jnp.ndarray:
     """Run a stack of layers over pipeline stages; call INSIDE ``shard_map``.
 
     Args:
       layer_fn: ``layer_fn(params, h) -> h`` applying ONE stage's layer(s) to
         a microbatch activation. ``params`` is this stage's local slice.
+        With ``with_tick=True`` the signature is ``layer_fn(params, h, t)``
+        — ``t`` is the schedule tick, from which a stage derives its current
+        microbatch index as ``t - axis_index`` (for per-microbatch side
+        inputs like padding masks, and tick-dependent dropout keys).
       stage_params: pytree whose leaves are this stage's parameters — i.e.
         the global stacked params (leading axis ``n_stages``) sharded over
         ``axis_name`` with the leading axis consumed by shard_map
@@ -65,7 +70,7 @@ def pipeline_apply(layer_fn: Callable, stage_params, x: jnp.ndarray,
         mb = jax.lax.dynamic_index_in_dim(
             x, jnp.minimum(t, n_micro - 1), axis=0, keepdims=False)
         h = jnp.where(is_first, mb, h_in)
-        h = layer_fn(stage_params, h)
+        h = layer_fn(stage_params, h, t) if with_tick else layer_fn(stage_params, h)
         # the last stage emits microbatch (t - (S-1)) at tick t
         return h, jnp.where(is_last, h, jnp.zeros_like(h))
 

@@ -81,8 +81,21 @@ class TrainerConfig:
     # callbacks: {name: {kwargs}} merged with the defaults
     callbacks: dict = field(default_factory=dict)
 
-    # mesh
+    # mesh — the distribution strategy is config, not code (the reference's
+    # Accelerate-prepare property, tts/experiments/trainer.py:203): the
+    # Trainer builds a ("data", "model", "seq", "stage") mesh from these
+    # sizes and the model picks the strategy up through the parallel context
     mesh_model_axis: int = 1  # tensor-parallel axis size (1 = pure DP)
+    #: sequence-parallel axis size; > 1 ring-shards attention's sequence dim
+    #: over the mesh — requires the attention layers that should shard to be
+    #: configured with `flash: ring` (e.g. model.decoder)
+    mesh_seq_axis: int = 1
+    #: pipeline-parallel axis size; > 1 runs `pipeline: true` transformers
+    #: as a GPipe schedule over the mesh with their layer stacks sharded
+    #: stage-wise
+    mesh_pipeline_axis: int = 1
+    #: microbatches streamed through the pipeline per step (pipeline only)
+    pipeline_microbatches: int = 4
     num_devices: int | None = None  # cap the device count (testing)
 
     # observability / numerics debugging

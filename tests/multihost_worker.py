@@ -156,6 +156,43 @@ def cross_host_collectives(pid):
     return {"ring_rel_err": ring_err, "pipeline_rel_err": pipe_err}
 
 
+def strategy_training(root, outdir, recipes):
+    """Phase 4: recipe-selectable SP and PP through the REAL Trainer across
+    the process group (round 4): `mesh_seq_axis` ring-shards the
+    encoder/decoder attention over a live seq axis while the batch stays
+    sharded over the cross-host data axis; `mesh_pipeline_axis` runs the
+    stacked encoder as a GPipe schedule over a stage axis. Loss histories
+    land in the result json; the parent compares 2-proc vs 1-proc."""
+    import copy
+
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    def run(tag, model_over, **trainer_over):
+        overrides = build_overrides(root, outdir, epochs=1, max_steps=2,
+                                    save_strategy="no", **trainer_over)
+        for path, value in model_over.items():
+            node = overrides["model"]
+            *parts, leaf = path.split(".")
+            for p in parts:
+                node = node.setdefault(p, {})
+            node[leaf] = value
+        overrides["trainer"]["label"] = f"run_{tag}"
+        modules = ExperimentModules("acoustic/core", recipes,
+                                    overrides=overrides)
+        modules.init_modules()
+        trainer = modules.build_trainer()
+        trainer.train()
+        return loss_history(trainer)
+
+    sp_losses = run(
+        "sp", {"encoder.transformer_layer.attention.flash": "ring"},
+        mesh_seq_axis=4)
+    pp_losses = run(
+        "pp", {"encoder.depth": 2, "encoder.pipeline": True},
+        mesh_pipeline_axis=2)
+    return {"sp_losses": sp_losses, "pp_losses": pp_losses}
+
+
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     root, outdir = sys.argv[4], sys.argv[5]
@@ -232,9 +269,11 @@ def main():
     }
 
     phase3 = cross_host_collectives(pid)
+    phase4 = strategy_training(root, outdir, recipes)
 
     result = {"process_id": pid, "num_processes": nproc,
-              "phase1": phase1, "phase2": phase2, "phase3": phase3}
+              "phase1": phase1, "phase2": phase2, "phase3": phase3,
+              "phase4": phase4}
     with open(os.path.join(outdir, f"result_{nproc}p_{pid}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(f"worker {pid}/{nproc} done: phase1 losses={phase1['losses']}")

@@ -139,6 +139,15 @@ def test_two_process_training_matches_single_process(toy_root, tmp_path):
         assert r["phase3"]["ring_rel_err"] < 1e-4, r["phase3"]
         assert r["phase3"]["pipeline_rel_err"] < 1e-4, r["phase3"]
 
+    # recipe-selectable SP / PP training across the process group: both
+    # ranks computed the same global losses (SPMD)
+    np.testing.assert_allclose(r0["phase4"]["sp_losses"],
+                               r1["phase4"]["sp_losses"], rtol=1e-6)
+    np.testing.assert_allclose(r0["phase4"]["pp_losses"],
+                               r1["phase4"]["pp_losses"], rtol=1e-6)
+    assert len(r0["phase4"]["sp_losses"]) == 2
+    assert len(r0["phase4"]["pp_losses"]) == 2
+
     # --- equivalence with a single-process 8-device run ---
     one = _run_group(1, toy_root, tmp_path / "mh1")[0]
     assert len(one["phase1"]["losses"]) == len(r0["phase1"]["losses"])
@@ -148,3 +157,10 @@ def test_two_process_training_matches_single_process(toy_root, tmp_path):
     # updates (training is chaotic); observed drift ~0.8% on the final step
     np.testing.assert_allclose(r0["phase2"]["losses"], one["phase2"]["losses"],
                                rtol=3e-2)
+
+    # dp x sp / dp x pp trained the same losses as the 1-process run of the
+    # identical recipe (strategy = config, numerics invariant)
+    np.testing.assert_allclose(r0["phase4"]["sp_losses"],
+                               one["phase4"]["sp_losses"], rtol=5e-3)
+    np.testing.assert_allclose(r0["phase4"]["pp_losses"],
+                               one["phase4"]["pp_losses"], rtol=5e-3)

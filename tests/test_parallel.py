@@ -16,9 +16,11 @@ from isp_tts_tpu.parallel.mesh import (
 
 def test_make_mesh_shapes():
     mesh = make_mesh(data=-1, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "seq": 1, "stage": 1}
     mesh = make_mesh(data=-1, model=1)
-    assert mesh.shape == {"data": 8, "model": 1}
+    assert mesh.shape == {"data": 8, "model": 1, "seq": 1, "stage": 1}
+    mesh = make_mesh(data=-1, model=1, seq=2, stage=2)
+    assert mesh.shape == {"data": 2, "model": 1, "seq": 2, "stage": 2}
 
 
 def test_shard_batch_places_on_data_axis():
@@ -243,3 +245,87 @@ def test_checkpoint_io_is_barriered(monkeypatch, tmp_path):
     modules2.build_trainer()
     assert "checkpoint_load_enter" in events
     assert "checkpoint_load_main_first" in events
+
+
+# ---------------------------------------------------------------------------
+# recipe-selectable SP / PP through the real Trainer (round 4): the
+# distribution strategy is TrainerConfig, not code — mesh_seq_axis /
+# mesh_pipeline_axis + the matching model flags
+# ---------------------------------------------------------------------------
+
+def _e2e_trainer(toy_root, outdir, model_over=None, **trainer_over):
+    import copy
+
+    from test_train_e2e import TINY_MODEL, _overrides
+    from isp_tts_tpu.training.experiment import ExperimentModules
+
+    overrides = _overrides(toy_root, outdir, max_steps=2, **trainer_over)
+    if model_over:
+        model = copy.deepcopy(TINY_MODEL)
+        for path, value in model_over.items():
+            node = model
+            *parts, leaf = path.split(".")
+            for p in parts:
+                node = node.setdefault(p, {})
+            node[leaf] = value
+        overrides["model"] = model
+    modules = ExperimentModules("acoustic/core", "recipes", overrides=overrides)
+    modules.init_modules()
+    return modules.build_trainer()
+
+
+def test_trainer_sequence_parallel_matches_dp(tmp_path):
+    """Trainer(mesh_seq_axis=2) + flash='ring' attention == the pure-DP run
+    of the same recipe: sequence parallelism is a TrainerConfig knob."""
+    root = tmp_path / "ds"
+    _make_toy(root)
+
+    ring = {"encoder.transformer_layer.attention.flash": "ring"}
+    t_dp = _e2e_trainer(root, tmp_path / "dp")
+    t_dp.train()
+    loss_dp = t_dp.state.log_history[-1]["train_step/loss"]
+
+    t_sp = _e2e_trainer(root, tmp_path / "sp", model_over=ring,
+                        mesh_seq_axis=2)
+    assert t_sp.mesh.shape["seq"] == 2
+    t_sp.train()
+    loss_sp = t_sp.state.log_history[-1]["train_step/loss"]
+    np.testing.assert_allclose(loss_sp, loss_dp, rtol=2e-4)
+
+
+def test_trainer_pipeline_parallel_matches_local(tmp_path):
+    """Trainer(mesh_pipeline_axis=2) with a pipeline=True decoder == the
+    same stacked config trained on one device."""
+    root = tmp_path / "ds"
+    _make_toy(root)
+
+    piped = {"encoder.depth": 2, "encoder.pipeline": True}
+    t_local = _e2e_trainer(root, tmp_path / "local", model_over=piped,
+                           num_devices=1)
+    t_local.train()
+    loss_local = t_local.state.log_history[-1]["train_step/loss"]
+
+    t_pp = _e2e_trainer(root, tmp_path / "pp", model_over=piped,
+                        mesh_pipeline_axis=2)
+    assert t_pp.mesh.shape["stage"] == 2
+    t_pp.train()
+    loss_pp = t_pp.state.log_history[-1]["train_step/loss"]
+    np.testing.assert_allclose(loss_pp, loss_local, rtol=2e-4)
+
+
+def _make_toy(root):
+    from isp_tts_tpu.data.audio import write_wav
+
+    SR = 22050
+    (root / "wavs").mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    texts = ["hello there.", "nice day!", "how are you?", "fine thanks.",
+             "testing tts.", "one two three.", "red blue green.", "the end."]
+    lines = []
+    for i, text in enumerate(texts):
+        n = int(SR * (0.3 + 0.05 * (i % 4)))
+        t = np.arange(n) / SR
+        wav = 0.4 * np.sin(2 * np.pi * (130 + 20 * i) * t) + 0.03 * rng.randn(n)
+        write_wav(root / "wavs" / f"u{i}.wav", wav.astype(np.float32), SR)
+        lines.append(f"wavs/u{i}.wav|{text}")
+    (root / "meta.csv").write_text("\n".join(lines) + "\n")

@@ -137,3 +137,103 @@ def test_pipeline_real_transformer_layers():
         state_arrays, microbatch(x, 2))
     np.testing.assert_allclose(np.asarray(out).reshape(ref.shape),
                                np.asarray(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# recipe-selectable pipeline parallelism (round 4): stacked-storage
+# Transformer, stage-sharded execution, checkpoint layout translation
+# ---------------------------------------------------------------------------
+
+def _stage_mesh(stage):
+    from isp_tts_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    return make_mesh(data=n // stage, stage=stage)
+
+
+def test_stacked_transformer_pipelined_matches_local():
+    """Transformer(pipeline=True): the GPipe schedule over a live stage axis
+    must equal the same module's local (no-context) execution."""
+    from flax import nnx
+
+    from isp_tts_tpu.nn.attention import AttentionConfig
+    from isp_tts_tpu.nn.transformer import Transformer, TransformerConfig
+    from isp_tts_tpu.parallel.context import parallel_context
+
+    B, N, D = 4, 16, 32
+    cfg = TransformerConfig(
+        dim=D, depth=4, pipeline=True,
+        transformer_layer={"attention": {"heads": 2, "head_dim": 16,
+                                         "one_kv_head": True,
+                                         "alibi_pos_bias": True}})
+    tf = Transformer(cfg, rngs=nnx.Rngs(0))
+    tf.eval()
+    x = jnp.asarray(np.random.RandomState(0).randn(B, N, D).astype(np.float32))
+    mask = jnp.arange(N)[None, :] < jnp.asarray([[N], [N - 3], [N], [N - 7]])
+
+    local = tf(x, mask=mask).out
+    with parallel_context(mesh=_stage_mesh(4), stage_axis="stage", n_micro=2):
+        piped = tf(x, mask=mask).out
+    np.testing.assert_allclose(np.asarray(piped), np.asarray(local),
+                               atol=2e-5)
+
+
+def test_stacked_transformer_rejects_unsupported_calls():
+    from flax import nnx
+
+    from isp_tts_tpu.nn.transformer import Transformer, TransformerConfig
+
+    cfg = TransformerConfig(dim=16, depth=2, pipeline=True,
+                            transformer_layer={"attention": {"heads": 2,
+                                                             "head_dim": 8}})
+    tf = Transformer(cfg, rngs=nnx.Rngs(0))
+    x = jnp.zeros((2, 8, 16))
+    with pytest.raises(ValueError, match="pipeline"):
+        tf(x, context=jnp.zeros((2, 4, 16)))
+
+
+def test_layer_stack_checkpoint_translation_roundtrip():
+    """A per-layer-trained checkpoint loads into a pipeline=True model (and
+    back) with identical inference — checkpoints move freely between dp/tp
+    and pp configurations (models/base._translate_layer_stacking)."""
+    import jax as _jax
+    from flax import nnx
+
+    from isp_tts_tpu.config import build_config
+    from isp_tts_tpu.models.acoustic.model import (AcousticModel,
+                                                   AcousticModelConfig)
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from __graft_entry__ import _tiny_model_config
+
+    cfg_plain = _tiny_model_config()
+    cfg_piped = _tiny_model_config()
+    cfg_piped["decoder"]["pipeline"] = True
+
+    plain = AcousticModel(build_config(AcousticModelConfig, cfg_plain),
+                          rngs=nnx.Rngs(0))
+    piped = AcousticModel(build_config(AcousticModelConfig, cfg_piped),
+                          rngs=nnx.Rngs(1))
+    plain.eval()
+    piped.eval()
+
+    # per-layer -> stacked
+    piped.load_params(plain.state_dict())
+    toks = jnp.asarray(np.random.RandomState(3).randint(1, 40, (2, 10)),
+                       jnp.int32)
+    key = _jax.random.PRNGKey(0)
+    mel_a, ad_a = plain.infer(toks, max_dec_len=64, steps=2, key=key)
+    mel_b, ad_b = piped.infer(toks, max_dec_len=64, steps=2, key=key)
+    assert np.array_equal(np.asarray(ad_a.dec_lengths),
+                          np.asarray(ad_b.dec_lengths))
+    np.testing.assert_allclose(np.asarray(mel_b), np.asarray(mel_a),
+                               atol=5e-5)
+
+    # stacked -> per-layer (round trip through the translated state)
+    plain2 = AcousticModel(build_config(AcousticModelConfig, cfg_plain),
+                           rngs=nnx.Rngs(2))
+    plain2.eval()
+    plain2.load_params(piped.state_dict())
+    for k, v in plain.state_dict().items():
+        np.testing.assert_array_equal(np.asarray(plain2.state_dict()[k]),
+                                      np.asarray(v), err_msg=k)

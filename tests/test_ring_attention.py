@@ -135,3 +135,97 @@ def test_ring_fully_masked_batch_element():
     ref = _ref_attn(q, k, v, slopes2, key_lens, scale)
     np.testing.assert_allclose(np.asarray(out)[0], np.asarray(ref)[0],
                                atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# recipe-selectable sequence parallelism (round 4): ring dispatch from the
+# Attention module via the parallel context, sharded wrapper inside jit,
+# shard-count-invariant probability dropout
+# ---------------------------------------------------------------------------
+
+def _seq_mesh(seq):
+    from isp_tts_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    return make_mesh(data=n // seq, model=1, seq=seq, stage=1)
+
+
+def test_ring_sharded_wrapper_matches_oracle():
+    """ring_attention_sharded (partial-manual shard_map inside jit, the
+    Attention dispatch target) == the einsum oracle, batch still sharded
+    over the data axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from isp_tts_tpu.ops.ring_attention import ring_attention_sharded
+
+    q, k, v, slopes2, key_lens, scale = _inputs(1, B=2, H=4, N=64)
+    mesh = _seq_mesh(4)  # data=2 x seq=4
+    qs = jax.device_put(q, NamedSharding(mesh, P("data")))
+
+    @jax.jit
+    def f(q, k, v):
+        return ring_attention_sharded(q, k, v, slopes2, key_lens, scale,
+                                      mesh=mesh, axis_name="seq")
+
+    out = f(qs, k, v)
+    ref = _ref_attn(q, k, v, slopes2, key_lens, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_ring_dropout_shard_count_invariant():
+    """Probability dropout's keep mask hashes GLOBAL coordinates: seq=4 and
+    seq=1 meshes drop identical probabilities (the property dryrun's
+    sharded==single train equivalence rests on), and the kept fraction
+    rescales like the einsum path."""
+    from isp_tts_tpu.ops.ring_attention import ring_attention_sharded
+
+    q, k, v, slopes2, key_lens, scale = _inputs(1, B=2, H=4, N=64)
+    seed = jnp.asarray(1234, jnp.int32)
+
+    outs = []
+    for seq in (1, 4):
+        mesh = _seq_mesh(seq)
+        out = jax.jit(lambda q, k, v: ring_attention_sharded(
+            q, k, v, slopes2, key_lens, scale, mesh=mesh, axis_name="seq",
+            dropout_rate=0.25, dropout_seed=seed))(q, k, v)
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+
+    # dropout actually dropped something, and E[out] ~ undropped out
+    nodrop = np.asarray(_ring(q, k, v, slopes2, key_lens, scale, n_shards=8))
+    assert np.abs(outs[0] - nodrop).max() > 1e-3
+    # valid region only (key_lens masks rows differently)
+    rel = (np.abs(outs[0] - nodrop).mean()
+           / (np.abs(nodrop).mean() + 1e-9))
+    assert rel < 1.0  # same scale (inv_keep rescale applied)
+
+
+def test_attention_module_ring_dispatch():
+    """Attention(flash='ring') under a live seq-axis parallel context ==
+    the same module with flash='off' (einsum oracle); with no context the
+    ring config must silently serve on the local path."""
+    from flax import nnx
+
+    from isp_tts_tpu.nn.attention import Attention, AttentionConfig
+    from isp_tts_tpu.parallel.context import parallel_context
+
+    B, N, D = 2, 64, 48
+    cfg = dict(dim=D, heads=4, head_dim=16, one_kv_head=True,
+               alibi_pos_bias=True)
+    ring_mod = Attention(AttentionConfig(flash="ring", **cfg), rngs=nnx.Rngs(0))
+    off_mod = Attention(AttentionConfig(flash="off", **cfg), rngs=nnx.Rngs(0))
+    ring_mod.eval()
+    off_mod.eval()
+
+    x = jnp.asarray(np.random.RandomState(0).randn(B, N, D).astype(np.float32))
+    mask = jnp.arange(N)[None, :] < jnp.asarray([[N], [N - 13]])
+
+    ref, _, _ = off_mod(x, mask=mask)
+    mesh = _seq_mesh(4)
+    with parallel_context(mesh=mesh, seq_axis="seq"):
+        out, _, _ = ring_mod(x, mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    # no context: local fallback, same numbers
+    out2, _, _ = ring_mod(x, mask=mask)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), atol=2e-5)
