@@ -185,6 +185,9 @@ class PitchProviderConfig:
     pad: int | None = None
     threshold: float = 0.15
     norm: str = "standard"
+    #: frame alignment for the penn method (reference providers.py:337:
+    #: center='zero' when True else 'half-window')
+    center: bool = False
 
 
 class PitchProvider:
@@ -224,7 +227,8 @@ class PitchProvider:
             p, periodicity = penn.from_audio(
                 torch.from_numpy(np.asarray(source))[None], c.sample_rate,
                 hopsize=c.hop_length / c.sample_rate,
-                fmin=self.f_min, fmax=c.f_max, batch_size=128)
+                fmin=self.f_min, fmax=c.f_max, batch_size=128,
+                center="zero" if c.center else "half-window")
             pitch = p[0].float().numpy()
             pitch[periodicity[0].float().numpy() < c.threshold] = 0.0
         else:

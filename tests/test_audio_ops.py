@@ -176,3 +176,75 @@ def test_batched_frontend_matches_per_sample_providers():
                                    pitch_ref[voiced], rtol=1e-3, atol=1e-2)
     # padding frames are zeroed
     assert float(jnp.abs(feats.mel[0, int(feats.mel_lens[0]):]).max()) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# penn pitch method via an injected fake backend (VERDICT r3 #8): the
+# package is absent in this environment, so the call contract and the
+# post-processing (periodicity threshold, normalization) are pinned the way
+# the espeak pipeline is — with a deterministic fake
+# (reference providers.py:329-342 semantics)
+# ---------------------------------------------------------------------------
+
+def test_penn_pitch_provider_with_fake_backend(monkeypatch):
+    import sys
+    import types
+
+    import numpy as np
+    import torch
+
+    from isp_tts_tpu.data.providers import PitchProvider, PitchProviderConfig
+
+    calls = {}
+
+    def fake_from_audio(audio, sample_rate, hopsize, fmin, fmax,
+                        batch_size, center):
+        calls.update(sample_rate=sample_rate, hopsize=hopsize, fmin=fmin,
+                     fmax=fmax, batch_size=batch_size, center=center,
+                     shape=tuple(audio.shape))
+        pitch = torch.tensor([[100.0, 150.0, 200.0, 250.0, 300.0, 350.0]])
+        periodicity = torch.tensor([[0.9, 0.05, 0.8, 0.1, 0.95, 0.5]])
+        return pitch, periodicity
+
+    fake = types.ModuleType("penn")
+    fake.from_audio = fake_from_audio
+    monkeypatch.setitem(sys.modules, "penn", fake)
+
+    provider = PitchProvider(PitchProviderConfig(
+        sample_rate=22050, hop_length=256, f_min=40, f_max=800,
+        method="penn", threshold=0.15))
+    audio = np.zeros(22050, np.float32)
+    out = provider(audio, mean=100.0, std=50.0)
+
+    # call contract (reference providers.py:331-341): hopsize in SECONDS,
+    # the configured f_min (penn does NOT get yin's forced f_min),
+    # half-window centering by default, batched input
+    assert calls["sample_rate"] == 22050
+    assert calls["hopsize"] == pytest.approx(256 / 22050)
+    assert calls["fmin"] == 40 and calls["fmax"] == 800
+    assert calls["center"] == "half-window"
+    assert calls["shape"][0] == 1
+
+    # periodicity below threshold zeroes the pitch BEFORE standardization
+    want = np.array([100.0, 0.0, 200.0, 0.0, 300.0, 350.0])
+    np.testing.assert_allclose(out, (want - 100.0) / 50.0, atol=1e-6)
+
+    # center=True -> 'zero'
+    provider2 = PitchProvider(PitchProviderConfig(
+        sample_rate=22050, hop_length=256, method="penn", center=True))
+    provider2(audio)
+    assert calls["center"] == "zero"
+
+    # yin's frame-matching f_min override must NOT leak into penn
+    assert provider.f_min == 40
+
+
+def test_penn_method_without_package_raises(monkeypatch):
+    import sys
+
+    from isp_tts_tpu.data.providers import PitchProvider, PitchProviderConfig
+
+    monkeypatch.setitem(sys.modules, "penn", None)
+    provider = PitchProvider(PitchProviderConfig(method="penn"))
+    with pytest.raises(ImportError, match="penn"):
+        provider(np.zeros(1000, np.float32))
