@@ -57,8 +57,35 @@ class GANTrainer(Trainer):
         cfg = self.config
         gen_params = nnx.state(self.model.generator, nnx.Param)
         disc_params = nnx.state(self.model.discriminator, nnx.Param)
-        self.tx_g, self.schedule = build_optimizer(cfg.optimization, gen_params)
-        self.tx_d, _ = build_optimizer(cfg.optimization, disc_params)
+
+        # finetune_layers freezing, per branch: model paths are full-tree
+        # ("generator.blocks.3....") while each optimizer sees its
+        # submodule's tree — re-anchor the prefix before matching (the
+        # reference's frozen-backbone fine-tune workflow, colab recipe
+        # train_ru_en.yaml:12, applied to the GAN lane)
+        def branch_mask(params, branch: str):
+            if not self.model.frozen_prefixes:
+                return None, False
+            from .trainer import _path_str
+
+            mask = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: self.model.is_trainable(
+                    f"{branch}.{_path_str(path)}"), params)
+            import numpy as np
+
+            n_opt = int(sum(np.prod(np.shape(l)) for l, m in zip(
+                jax.tree_util.tree_leaves(params),
+                jax.tree_util.tree_leaves(mask)) if m))
+            total = int(sum(np.prod(np.shape(l))
+                            for l in jax.tree_util.tree_leaves(params)))
+            logger.info("%s: optimizing %d / %d params", branch, n_opt, total)
+            return mask, True
+
+        g_mask, g_frozen = branch_mask(gen_params, "generator")
+        d_mask, d_frozen = branch_mask(disc_params, "discriminator")
+        self.tx_g, self.schedule = build_optimizer(cfg.optimization,
+                                                   gen_params, g_mask)
+        self.tx_d, _ = build_optimizer(cfg.optimization, disc_params, d_mask)
         if self._restored_base_lr is not None and cfg.restore_lr:
             self.schedule.base_lr = float(self._restored_base_lr)
             logger.info("restored schedule base lr %.3g", self.schedule.base_lr)
@@ -67,15 +94,15 @@ class GANTrainer(Trainer):
             "disc": self.tx_d.init(disc_params),
         }
         self._grad_accum = cfg.optimization.grad_accum_steps > 1
-        self._has_freeze_mask = False
-        if self.model.frozen_prefixes:
-            raise NotImplementedError(
-                "finetune_layers freezing is not supported by GANTrainer")
+        self._has_freeze_mask = False  # per-branch flags below
+        self._g_frozen, self._d_frozen = g_frozen, d_frozen
         self._restore_opt_state()
 
     def _apply_lr(self, lr: float):
-        set_learning_rate(self.opt_state["gen"], lr, self._grad_accum, False)
-        set_learning_rate(self.opt_state["disc"], lr, self._grad_accum, False)
+        set_learning_rate(self.opt_state["gen"], lr, self._grad_accum,
+                          self._g_frozen)
+        set_learning_rate(self.opt_state["disc"], lr, self._grad_accum,
+                          self._d_frozen)
         return self.opt_state
 
     # -- jitted steps ------------------------------------------------------------
