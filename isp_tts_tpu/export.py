@@ -25,16 +25,38 @@ import zipfile
 
 import numpy as np
 
+
+def jax_default_backend() -> str:
+    import jax
+
+    return jax.default_backend()
+
 logger = logging.getLogger("isp_tts_tpu")
 
 _META_NAME = "meta.json"
 _FN_NAME = "fn.jaxexport"
+_EXEC_NAME = "exec.xla"
 FORMAT_VERSION = 1
+
+
+def _device_fingerprint() -> dict:
+    """Identity of the compile target a pre-compiled executable is valid
+    for. An embedded executable loads ONLY on a matching host; everything
+    else falls back to the portable StableHLO + (cached) compile path."""
+    import jax
+
+    dev = jax.devices()[0]
+    return {
+        "platform": jax.default_backend(),
+        "device_kind": getattr(dev, "device_kind", "unknown"),
+        "jax_version": jax.__version__,
+    }
 
 
 def export_serving(synth, path, text_bucket: int, frame_budget: int,
                    batch: int = 1, use_speaker: bool = False,
-                   platforms: tuple | None = None) -> dict:
+                   platforms: tuple | None = None,
+                   precompile: bool = False) -> dict:
     """Export one (text_bucket, frame_budget, batch) serving executable.
 
     Args:
@@ -42,6 +64,11 @@ def export_serving(synth, path, text_bucket: int, frame_budget: int,
       path: output artifact path (zip).
       platforms: e.g. ``("cpu", "tpu")`` for a multi-platform artifact;
         default = the current backend only.
+      precompile: ALSO embed the fully-compiled XLA executable for the
+        CURRENT backend (device-fingerprint-keyed). A deployment host with
+        the same platform/device-kind/jax version then skips XLA
+        compilation entirely on first load — the StableHLO blob remains the
+        portable fallback for every other host.
 
     Returns the artifact's metadata dict.
     """
@@ -91,6 +118,29 @@ def export_serving(synth, path, text_bucket: int, frame_budget: int,
     exported = jax_export.export(jax.jit(fn), **kwargs)(*args)
     blob = exported.serialize()
 
+    exec_blob = exec_fp = None
+    if precompile:
+        # compile NOW for the current backend and ship the executable too:
+        # the matching deployment host pays zero compile time on first load
+        # (the round-3 artifact's ~354 s cold start, docs/PERF_R3.md)
+        try:
+            import pickle
+
+            from jax.experimental import serialize_executable
+
+            compiled = jax.jit(fn).lower(*args).compile()
+            payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+            exec_blob = pickle.dumps((payload, in_tree, out_tree))
+            exec_fp = _device_fingerprint()
+            logger.info("embedded %s executable (%.1f MB) for %s",
+                        exec_fp["platform"], len(exec_blob) / 1e6,
+                        exec_fp["device_kind"])
+        except Exception as e:  # noqa: BLE001 — optimization only
+            logger.warning("precompile requested but executable "
+                           "serialization failed (%s); artifact remains "
+                           "StableHLO-only", e)
+            exec_blob = exec_fp = None
+
     geo = synth._audio_geometry()
     if has_vocoder:
         fc = synth.vocoder.features_config
@@ -116,9 +166,13 @@ def export_serving(synth, path, text_bucket: int, frame_budget: int,
         "sample_rate": sr,
         "mel_dim": int(synth.model.mel_dim),
     }
+    if exec_fp is not None:
+        meta["precompiled"] = exec_fp
     with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
         z.writestr(_META_NAME, json.dumps(meta))
         z.writestr(_FN_NAME, blob)
+        if exec_blob is not None:
+            z.writestr(_EXEC_NAME, exec_blob)
     return meta
 
 
@@ -137,21 +191,76 @@ class ExportedSynthesizer:
         with zipfile.ZipFile(path) as z:
             self.meta = json.loads(z.read(_META_NAME))
             blob = z.read(_FN_NAME)
+            exec_blob = (z.read(_EXEC_NAME)
+                         if _EXEC_NAME in z.namelist() else None)
         if self.meta.get("format_version") != FORMAT_VERSION:
             raise ValueError(
                 f"unsupported artifact version {self.meta.get('format_version')}")
+        # persistent compile cache: even without an embedded executable, the
+        # SECOND cold load of the same artifact on this host skips the XLA
+        # compile (keyed on the StableHLO, so it self-invalidates)
+        from .utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+
+        import os
+
+        # XLA:CPU AOT executables are machine-feature-fragile when loaded
+        # in-process (observed symbol-lookup failures); the embedded-exec
+        # fast path targets accelerator deployments. CPU hosts use the
+        # StableHLO + persistent-cache path unless explicitly overridden.
+        allow_exec = (jax_default_backend() != "cpu"
+                      or os.environ.get("ISP_TTS_TPU_CPU_EXEC") == "1")
+        self._loaded = None
+        if exec_blob is not None and allow_exec and self._fingerprint_matches():
+            # embedded pre-compiled executable: zero compile on first load.
+            # NOTE: loading it unpickles executable metadata — an artifact
+            # is already trusted code-equivalent (it IS the program you are
+            # about to run), same trust boundary as the StableHLO blob.
+            try:
+                import pickle
+
+                from jax.experimental import serialize_executable
+
+                import jax
+
+                payload, in_tree, out_tree = pickle.loads(exec_blob)
+                # serving artifacts are single-device programs: load onto
+                # one device (default would spread over every local device)
+                self._loaded = serialize_executable.deserialize_and_load(
+                    payload, in_tree, out_tree,
+                    execution_devices=jax.devices()[:1])
+                logger.info("artifact: using embedded pre-compiled "
+                            "executable (no XLA compile)")
+            except Exception as e:  # noqa: BLE001 — fall back to StableHLO
+                logger.warning("embedded executable unusable (%s); falling "
+                               "back to StableHLO compile", e)
+                self._loaded = None
         from jax import export as jax_export
 
-        self._fn = jax_export.deserialize(blob)
+        self._fn = jax_export.deserialize(blob) if self._loaded is None else None
         from .data.text.processor import TextProcessor
         from .data.text.table import CodingTable
 
         self._table = CodingTable.from_encoding_map(self.meta["encoding_map"])
+        self._call = (self._loaded if self._loaded is not None
+                      else self._fn.call)
         # reconstruct the source synthesizer's text pipeline — if the
         # artifact needs espeak and this host lacks it, fail HERE, loudly
         self._process = TextProcessor(
             phonemizer=self.meta.get("phonemizer", False),
             language=self.meta.get("language", "en-us"))
+
+    def _fingerprint_matches(self) -> bool:
+        want = self.meta.get("precompiled")
+        if not want:
+            return False
+        have = _device_fingerprint()
+        if have != want:
+            logger.info("artifact precompiled for %s, host is %s — using "
+                        "the portable StableHLO path", want, have)
+            return False
+        return True
 
     def __call__(self, text: str | list[str], seed: int = 0,
                  duration_factor: float = 1.0, pitch_factor: float = 1.0,
@@ -185,7 +294,7 @@ class ExportedSynthesizer:
                     f"speaker list length {len(ids)} != number of texts "
                     f"{len(texts)}")
             spk[: len(ids)] = ids
-        out, dec_lens = self._fn.call(
+        out, dec_lens = self._call(
             tokens, lens, np.uint32(seed), np.float32(duration_factor),
             np.float32(pitch_factor), np.float32(pitch_delta),
             np.float32(energy_factor), np.float32(energy_delta), spk)
@@ -223,6 +332,10 @@ def main(argv=None) -> None:
                    help="export the speaker-control variant")
     p.add_argument("--platforms", nargs="+", default=None,
                    help="e.g. --platforms cpu tpu for a dual artifact")
+    p.add_argument("--precompile", action="store_true",
+                   help="also embed the compiled XLA executable for THIS "
+                        "host (fingerprint-keyed; kills the cold-start "
+                        "compile on matching deployment hosts)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -233,7 +346,8 @@ def main(argv=None) -> None:
         synth, args.output, text_bucket=args.text_bucket,
         frame_budget=args.frame_budget, batch=args.batch,
         use_speaker=args.speaker,
-        platforms=tuple(args.platforms) if args.platforms else None)
+        platforms=tuple(args.platforms) if args.platforms else None,
+        precompile=args.precompile)
     print(json.dumps(meta, indent=2))
 
 

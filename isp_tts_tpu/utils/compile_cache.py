@@ -13,9 +13,13 @@ import os
 DEFAULT_CACHE_DIR = "~/.cache/isp_tts_tpu/xla"
 
 
-def enable_compile_cache(cache_dir: str = DEFAULT_CACHE_DIR) -> str:
+def enable_compile_cache(cache_dir: str | None = None) -> str:
+    """``ISP_TTS_TPU_XLA_CACHE`` overrides the location (benchmarks use it
+    to measure genuinely cold caches)."""
     import jax
 
+    cache_dir = (cache_dir or os.environ.get("ISP_TTS_TPU_XLA_CACHE")
+                 or DEFAULT_CACHE_DIR)
     cache = os.path.expanduser(cache_dir)
     os.makedirs(cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache)

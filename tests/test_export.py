@@ -147,3 +147,48 @@ def test_export_records_text_pipeline(tmp_path):
     # installs one suite-wide) — the contract is "fails LOUDLY at load"
     with pytest.raises((ImportError, RuntimeError)):
         ExportedSynthesizer(forged)
+
+
+def test_precompiled_artifact_skips_xla_compile(tmp_path):
+    """--precompile embeds the compiled executable: a matching host loads
+    it (no StableHLO deserialize at all) and produces identical outputs; a
+    fingerprint mismatch falls back to the portable path (VERDICT r3 #6 —
+    the 354 s AOT cold start)."""
+    import json
+    import zipfile
+
+    synth = _make_synth()
+    plain = tmp_path / "plain.zip"
+    pre = tmp_path / "pre.zip"
+    export_serving(synth, plain, text_bucket=16, frame_budget=64, batch=1)
+    meta = export_serving(synth, pre, text_bucket=16, frame_budget=64,
+                          batch=1, precompile=True)
+    assert meta.get("precompiled", {}).get("platform") == "cpu"
+    assert "exec.xla" in zipfile.ZipFile(pre).namelist()
+
+    # CPU hosts deliberately ignore the embedded executable (XLA:CPU AOT
+    # in-process loading is machine-feature-fragile) and use the portable
+    # path; accelerator hosts load it (exercised on the real chip by
+    # tools/bench_artifact_cold.py)
+    ex_pre = ExportedSynthesizer(pre)
+    assert ex_pre._loaded is None and ex_pre._fn is not None
+    ex_plain = ExportedSynthesizer(plain)
+    text = "hello world."
+    np.testing.assert_allclose(ex_pre(text, seed=3)[0],
+                               ex_plain(text, seed=3)[0], atol=2e-5)
+
+    # corrupt the fingerprint -> portable fallback, same result
+    mismatched = tmp_path / "mismatch.zip"
+    with zipfile.ZipFile(pre) as src, \
+            zipfile.ZipFile(mismatched, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "meta.json":
+                m = json.loads(data)
+                m["precompiled"]["device_kind"] = "some-other-chip"
+                data = json.dumps(m)
+            dst.writestr(name, data)
+    ex_mis = ExportedSynthesizer(mismatched)
+    assert ex_mis._loaded is None and ex_mis._fn is not None
+    np.testing.assert_allclose(ex_mis(text, seed=3)[0],
+                               ex_plain(text, seed=3)[0], atol=2e-5)
