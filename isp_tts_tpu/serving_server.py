@@ -136,6 +136,11 @@ class TTSServer:
         self.config = config or ServerConfig()
         self._host, self._port = host, port
         self._queue: queue.Queue = queue.Queue()
+        #: finished device outputs awaiting host-side encoding: a dedicated
+        #: encoder thread drains this so batch N's wav/npy encode overlaps
+        #: batch N+1's device call instead of serializing behind it (the
+        #: round-3 daemon was host-bound on exactly this, docs/PERF_R3.md)
+        self._encode_queue: queue.Queue = queue.Queue()
         self._stats_lock = threading.Lock()
         self.stats = {"requests": 0, "batches": 0, "errors": 0,
                       "max_coalesced": 0, "rejected": 0}
@@ -157,10 +162,13 @@ class TTSServer:
         self._stopping = False
         batcher = threading.Thread(target=self._batch_loop,
                                    name="tts-batcher", daemon=True)
+        encoder = threading.Thread(target=self._encode_loop,
+                                   name="tts-encoder", daemon=True)
         serving = threading.Thread(target=self._httpd.serve_forever,
                                    name="tts-http", daemon=True)
-        self._threads = [batcher, serving]
+        self._threads = [batcher, encoder, serving]
         batcher.start()
+        encoder.start()
         serving.start()
         logger.info("TTS server on %s:%d (max_batch=%d, window=%.1fms)",
                     self._host, self._port, self.config.max_batch,
@@ -174,6 +182,11 @@ class TTSServer:
                         if t.name == "tts-batcher"), None)
         if batcher is not None:
             batcher.join(timeout=30)
+        self._encode_queue.put(None)  # drain + stop the encoder
+        encoder = next((t for t in self._threads
+                        if t.name == "tts-encoder"), None)
+        if encoder is not None:
+            encoder.join(timeout=30)
         # fail anything still queued so blocked handler threads respond
         # promptly instead of sitting out the full request timeout
         while True:
@@ -294,26 +307,18 @@ class TTSServer:
                       pitch_delta=pd, energy_factor=ef, energy_delta=ed,
                       speaker=speaker)
         try:
-            if fmt == "wav":
+            if fmt in ("wav", "pcm"):
                 outs = self.synthesizer.synthesize_audio(texts, **kwargs)
-                payloads = [encode_wav(o, self._sample_rate) for o in outs]
-                ctype = "audio/wav"
-            elif fmt == "pcm":
-                outs = self.synthesizer.synthesize_audio(texts, **kwargs)
-                payloads = [encode_pcm(o) for o in outs]
-                ctype = f"audio/L16; rate={self._sample_rate}; channels=1"
             else:
                 outs = self.synthesizer(texts, **kwargs)
-                payloads = [encode_npy(o) for o in outs]
-                ctype = "application/x-npy"
             if not _retry:  # a retried single is still the ORIGINAL window
                 with self._stats_lock:
                     self.stats["batches"] += 1
                     self.stats["max_coalesced"] = max(
                         self.stats["max_coalesced"], len(reqs))
-            for r, p in zip(reqs, payloads):
-                r.result, r.content_type = p, ctype
-                r.done.set()
+            # hand host-side encoding to the encoder thread: the batcher is
+            # free to dispatch the NEXT window's device call immediately
+            self._encode_queue.put((reqs, outs, fmt))
         except ValueError as e:
             # a bad INPUT (e.g. text over the largest bucket): isolate the
             # poison request by retrying each alone so only the offender
@@ -330,6 +335,33 @@ class TTSServer:
             logger.exception("batch of %d failed", len(reqs))
             for r in reqs:
                 self._fail(r, e, code=500)
+
+    def _encode_loop(self) -> None:
+        """Encoder thread: host-side wav/pcm/npy encoding of finished device
+        outputs, overlapped with the batcher's next device call."""
+        while True:
+            job = self._encode_queue.get()
+            if job is None:
+                return
+            reqs, outs, fmt = job
+            try:
+                if fmt == "wav":
+                    payloads = [encode_wav(o, self._sample_rate) for o in outs]
+                    ctype = "audio/wav"
+                elif fmt == "pcm":
+                    payloads = [encode_pcm(o) for o in outs]
+                    ctype = f"audio/L16; rate={self._sample_rate}; channels=1"
+                else:
+                    payloads = [encode_npy(o) for o in outs]
+                    ctype = "application/x-npy"
+                for r, p in zip(reqs, payloads):
+                    r.result, r.content_type = p, ctype
+                    r.done.set()
+            except Exception as e:  # noqa: BLE001
+                logger.exception("encoding a batch of %d failed", len(reqs))
+                for r in reqs:
+                    if not r.done.is_set():
+                        self._fail(r, e, code=500)
 
     def _fail(self, r: _Pending, e: Exception, code: int) -> None:
         with self._stats_lock:

@@ -273,6 +273,7 @@ def test_stop_fails_queued_requests_promptly():
     import threading as _t
 
     srv._queue = _q.Queue()
+    srv._encode_queue = _q.Queue()
     srv._threads = []
     srv._httpd = None
     srv._stopping = False
