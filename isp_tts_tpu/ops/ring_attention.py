@@ -73,7 +73,10 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     multi_query = k.shape[1] == 1 and H != 1
 
     rows = me * n_local + jnp.arange(n_local)  # global query positions
-    qf = q.astype(jnp.float32)
+    # matmuls run in the INCOMING dtype with f32 accumulation (the flash
+    # kernels' scheme): bf16 activations under the production policy keep
+    # full MXU rate; f32 inputs (tests/oracles) are unchanged
+    qf = q
     slopes_lo = slopes[0].astype(jnp.float32)[:, None, None]  # (H, 1, 1)
     slopes_hi = slopes[1].astype(jnp.float32)[:, None, None]
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
@@ -94,7 +97,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         src = (me - t) % n_shards  # whose chunk we hold at step t
         cols = src * m_local + jnp.arange(m_local)  # global key positions
 
-        kf = k_c.astype(jnp.float32)
+        kf = k_c
         if multi_query:
             s = jnp.einsum("bhnd,bmd->bhnm", qf, kf[:, 0],
                            preferred_element_type=jnp.float32)
@@ -127,10 +130,15 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                 + cols[None, None, None, :]
             keep = _keep_hash(idx, dropout_seed, thresh)
             p = jnp.where(keep, p, 0.0)
+        # probabilities cast to the V dtype for the second matmul (bf16 MXU
+        # under the policy, exactly the flash kernels' scheme); f32 stays f32
+        pc = p.astype(v_c.dtype) if v_c.dtype != jnp.float32 else p
         if multi_query:
-            pv = jnp.einsum("bhnm,bmd->bhnd", p, v_c[:, 0].astype(jnp.float32))
+            pv = jnp.einsum("bhnm,bmd->bhnd", pc, v_c[:, 0],
+                            preferred_element_type=jnp.float32)
         else:
-            pv = jnp.einsum("bhnm,bhmd->bhnd", p, v_c.astype(jnp.float32))
+            pv = jnp.einsum("bhnm,bhmd->bhnd", pc, v_c,
+                            preferred_element_type=jnp.float32)
         return m_new, l, o * alpha + pv
 
     def step(carry, t):
