@@ -332,17 +332,37 @@ class AcousticDataset:
         return out
 
     def compute_stats(self, save_stats: bool = True,
-                      save_path: str | None = None) -> DatasetStats:
+                      save_path: str | None = None,
+                      batch_size: int = 64) -> DatasetStats:
         """Pitch/energy statistics with IQR outlier removal; unnormalized
-        pitch is used (stats are computed before standardization)."""
+        pitch is used (stats are computed before standardization).
+
+        With ``batched_frontend`` the scan runs through the fused jitted
+        front-end in ``batch_size`` chunks — at LJSpeech scale the
+        per-utterance provider chain is ~4.5 s/clip of eager host YIN
+        (a 10k-clip scan would take half a day); the batched path does the
+        same scan in minutes (measured in docs/SCALE_R4.md)."""
         prev_stats = self.stats
         self.stats = DatasetStats()  # identity normalization during the scan
+        # bypass the feature cache for the whole scan: identity-normalized
+        # samples must not land in it, and at stats time nothing can be
+        # reused anyway (eviction churn would just burn memory bandwidth)
+        cache, self._cache = self._cache, None
+
+        def scan_samples():
+            if self._frontend_cfg is not None:
+                n = len(self)
+                for s0 in range(0, n, batch_size):
+                    idxs = list(range(s0, min(s0 + batch_size, n)))
+                    batch = self._extract_batch(idxs)
+                    yield from (batch[i] for i in idxs)
+            else:
+                yield from (self[i] for i in range(len(self)))
 
         p_scaler, e_scaler = RunningScaler(), RunningScaler()
         p_min = e_min = np.finfo(np.float64).max
         p_max = e_max = np.finfo(np.float64).min
-        for i in range(len(self)):
-            sample = self[i] if self._cache is None else self._uncached(i)
+        for sample in scan_samples():
             if sample.pitch is not None:
                 pitch = remove_outliers(sample.pitch)
                 pitch = pitch[pitch > 0.0]
@@ -364,8 +384,7 @@ class AcousticDataset:
                                 std=float(e_scaler.std[0]) if e_scaler.std is not None else 1.0),
         )
         del prev_stats
-        if self._cache is not None:
-            self._cache.clear()  # cached samples used identity pitch norm
+        self._cache = cache  # scan bypassed it; nothing stale to clear
         if save_stats:
             path = save_path or os.path.join(self.data_root, "stats.json")
             self.stats.save(path)
