@@ -73,6 +73,7 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
         abandoned = threading.Event()
+        failure: list[BaseException] = []
 
         def producer():
             try:
@@ -85,6 +86,11 @@ class DataLoader:
                             continue
                     if abandoned.is_set():
                         return
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                # a producer crash (bad file, broken feature) must FAIL the
+                # epoch in the consumer, not silently truncate it to the
+                # batches produced so far
+                failure.append(e)
             finally:
                 while not abandoned.is_set():
                     try:
@@ -99,6 +105,8 @@ class DataLoader:
             while True:
                 item = q.get()
                 if item is sentinel:
+                    if failure:
+                        raise failure[0]
                     break
                 yield item
         finally:

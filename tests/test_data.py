@@ -253,3 +253,29 @@ def test_batched_frontend_through_loader(toy_dataset):
     batches = list(loader)
     assert len(batches) == 2
     assert np.isfinite(batches[0]["mel"]).all()
+
+
+def test_loader_propagates_producer_exceptions():
+    """A crash inside the prefetch producer (bad file, broken feature) must
+    fail the epoch, not silently truncate it to the batches produced before
+    the crash (found live by the joint fine-tune run, round 4)."""
+    import pytest
+
+    from isp_tts_tpu.data.loader import DataLoader
+
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i >= 4:
+                raise OSError(f"bad sample {i}")
+            return i
+
+    loader = DataLoader(Exploding(), collate_fn=list, batch_size=2,
+                        shuffle=False, drop_last=True)
+    seen = []
+    with pytest.raises(OSError, match="bad sample"):
+        for batch in loader:
+            seen.append(batch)
+    assert len(seen) == 2  # the good batches arrived before the failure

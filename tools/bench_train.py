@@ -109,6 +109,13 @@ def main():
                     help="'large' = ~115M-param config (dim 768, depth 8, "
                          "128-wide heads): framework efficiency beyond the "
                          "reference's 23M model scale")
+    ap.add_argument("--ring", action="store_true",
+                    help="run encoder/decoder attention through the "
+                         "sequence-parallel ring path (flash='ring') over a "
+                         "seq axis spanning the available chips — on ONE "
+                         "chip this measures ring's overhead vs the flash "
+                         "kernel (the sp mode's worst case: the full "
+                         "sequence on one device, einsum chunk math)")
     args = ap.parse_args()
 
     if not args.threefry:  # match Trainer fast_rng=True (experiment.py)
@@ -116,9 +123,23 @@ def main():
 
     from flax import nnx
 
+    overrides = dict(LARGE_OVERRIDES) if args.preset == "large" else None
+    if args.ring:
+        from isp_tts_tpu.parallel.context import (ParallelContext,
+                                                  set_parallel_context)
+        from isp_tts_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        mesh = make_mesh(data=1, seq=n, devices=jax.devices()[:n])
+        set_parallel_context(ParallelContext(mesh=mesh, seq_axis="seq"))
+        overrides = overrides or {}
+        overrides.setdefault("encoder", {}).setdefault(
+            "transformer_layer", {}).setdefault(
+            "attention", {})["flash"] = "ring"
+        print(f"ring mode: seq axis over {n} device(s)")
+
     model, criterion, tx, batch, model_cfg = build(
-        args.batch, args.text_len, args.mel_len,
-        model_overrides=LARGE_OVERRIDES if args.preset == "large" else None)
+        args.batch, args.text_len, args.mel_len, model_overrides=overrides)
     from isp_tts_tpu.utils.misc import count_parameters
 
     graphdef, state = nnx.split(model)
