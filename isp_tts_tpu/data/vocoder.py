@@ -29,6 +29,10 @@ class VocoderSample:
     filename: str
     audio: np.ndarray  # (segment_samples,) float32
     n_samples: int  # true (un-padded) sample count within the segment
+    #: optional PAIRED mel (segment_samples // hop_length, n_mels) — the
+    #: acoustic model's predicted mel for this clip, hop-aligned with the
+    #: audio crop (joint fine-tune, tools/joint_finetune.py)
+    mel: np.ndarray | None = None
 
 
 @dataclass
@@ -44,6 +48,12 @@ class VocoderDatasetConfig:
     audio_length_limits: tuple | None = None
     #: raw waveforms are small; cache them decoded
     cache_audio: bool = True
+    #: directory of per-clip predicted-mel ``<wav stem>.npy`` files
+    #: ((T, n_mels), hop-aligned with the audio); when set, samples carry a
+    #: paired ``mel`` crop and the GAN step feeds it to the generator
+    mel_dir: str | None = None
+    #: samples per mel frame (required with ``mel_dir`` for crop alignment)
+    hop_length: int = 256
 
 
 class VocoderDataset:
@@ -82,25 +92,47 @@ class VocoderDataset:
             self._cache[idx] = audio
         return audio
 
+    def _mel(self, idx: int) -> np.ndarray:
+        stem = Path(self.meta[idx].audio_path).stem
+        return np.load(Path(self.config.mel_dir) / f"{stem}.npy")
+
     def __getitem__(self, idx: int) -> VocoderSample:
         cfg = self.config
         audio = self._audio(idx)
         seg = cfg.segment_samples
+        hop = cfg.hop_length
+        paired = cfg.mel_dir is not None
+        mel = None
+        if paired:
+            # predicted mels exist for T frames; bound the usable audio to
+            # T*hop and snap crop starts to hop so frames align exactly
+            full_mel = self._mel(idx)
+            audio = audio[: full_mel.shape[0] * hop]
         n = audio.shape[-1]
         if n >= seg:
             if cfg.random_crop:
                 start = int(np.random.randint(0, n - seg + 1))
             else:
                 start = (n - seg) // 2
+            if paired:
+                start = (start // hop) * hop
             crop = audio[start:start + seg]
             n_valid = seg
         else:
+            start = 0
             crop = np.pad(audio, (0, seg - n))
             n_valid = n
+        if paired:
+            frames = seg // hop
+            mel = full_mel[start // hop: start // hop + frames]
+            if mel.shape[0] < frames:  # short clip: pad like the audio
+                mel = np.pad(mel, ((0, frames - mel.shape[0]), (0, 0)))
+            mel = np.ascontiguousarray(mel, np.float32)
         return VocoderSample(
             filename=self.meta[idx].audio_path,
             audio=np.ascontiguousarray(crop, np.float32),
             n_samples=n_valid,
+            mel=mel,
         )
 
 
@@ -116,8 +148,11 @@ class VocoderCollator:
         self.config = config or VocoderCollatorConfig(**kw)
 
     def __call__(self, batch: Sequence[VocoderSample]) -> dict:
-        return {
+        out = {
             "filename": [s.filename for s in batch],
             "audio": np.stack([s.audio for s in batch]),
             "n_samples": np.asarray([s.n_samples for s in batch], np.int32),
         }
+        if batch[0].mel is not None:
+            out["mel"] = np.stack([s.mel for s in batch])
+        return out

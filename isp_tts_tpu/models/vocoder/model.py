@@ -190,10 +190,14 @@ class VocoderModel(Model):
 
     # -- training forward ------------------------------------------------------
 
-    def __call__(self, audio: jnp.ndarray) -> VocoderOutput:
-        mel = jax.lax.stop_gradient(self.features(audio))
-        fake = self.generator(mel)
-        return VocoderOutput(audio_fake=fake, mel=mel)
+    def __call__(self, audio: jnp.ndarray,
+                 mel: jnp.ndarray | None = None) -> VocoderOutput:
+        """``mel`` overrides the generator's input (acoustic-model-predicted
+        mels for the joint fine-tune, tools/joint_finetune.py); the returned
+        ``mel`` is always the REAL audio's — the reconstruction target."""
+        target = jax.lax.stop_gradient(self.features(audio))
+        fake = self.generator(target if mel is None else mel)
+        return VocoderOutput(audio_fake=fake, mel=target)
 
     # -- inference -------------------------------------------------------------
 
@@ -245,7 +249,10 @@ class VocoderModel(Model):
         return {"generator": gen_cfg, "features": feats}, flat
 
     def prepare_inputs(self, batch: dict) -> dict:
-        return {"audio": batch["audio"]}
+        out = {"audio": batch["audio"]}
+        if "mel" in batch:  # paired predicted-mel fine-tune
+            out["mel"] = batch["mel"]
+        return out
 
     @staticmethod
     def inject_data_config(config: dict, dataset) -> dict:

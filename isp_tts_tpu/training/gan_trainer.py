@@ -118,7 +118,13 @@ class GANTrainer(Trainer):
             gen = model.generator
             disc = model.discriminator
 
-            mel = jax.lax.stop_gradient(model.features(audio))
+            # the generator's INPUT: real audio's mel normally, or the
+            # paired acoustic-model-PREDICTED mel (joint fine-tune — closes
+            # the train/serve mel mismatch the reference's frozen
+            # TorchScript vocoder can never train away); the mel-L1
+            # reconstruction target is ALWAYS the real audio's
+            mel_target = jax.lax.stop_gradient(model.features(audio))
+            mel = inputs.get("mel", mel_target)
 
             # --- discriminator update (fake detached) ---
             fake = jax.lax.stop_gradient(gen(mel))
@@ -136,7 +142,8 @@ class GANTrainer(Trainer):
             # --- generator update (vs the updated discriminator) ---
             def g_loss_fn(g):
                 fake2 = g(mel)
-                loss, metrics = criterion.gen_loss(disc, audio, fake2, mel)
+                loss, metrics = criterion.gen_loss(disc, audio, fake2,
+                                                   mel_target)
                 return loss.astype(jnp.float32), metrics
 
             (g_loss, g_metrics), g_grads = nnx.value_and_grad(
