@@ -205,12 +205,17 @@ class ExportedSynthesizer:
 
         import os
 
+        import jax
+
         # XLA:CPU AOT executables are machine-feature-fragile when loaded
-        # in-process (observed symbol-lookup failures); the embedded-exec
-        # fast path targets accelerator deployments. CPU hosts use the
-        # StableHLO + persistent-cache path unless explicitly overridden.
-        allow_exec = (jax_default_backend() != "cpu"
-                      or os.environ.get("ISP_TTS_TPU_CPU_EXEC") == "1")
+        # in-process (observed symbol-lookup failures), and the axon TPU
+        # RELAY hangs in deserialize_and_load (measured; plain PJRT TPU
+        # hosts are fine) — both use the StableHLO + persistent-cache path.
+        # ISP_TTS_TPU_FORCE_EXEC=1 overrides for direct-attached hosts
+        # mislabeled by the platform probe.
+        platform = getattr(jax.devices()[0], "platform", jax_default_backend())
+        allow_exec = (platform not in ("cpu", "axon")
+                      or os.environ.get("ISP_TTS_TPU_FORCE_EXEC") == "1")
         self._loaded = None
         if exec_blob is not None and allow_exec and self._fingerprint_matches():
             # embedded pre-compiled executable: zero compile on first load.
