@@ -346,9 +346,18 @@ class AcousticDataset:
         self.stats = DatasetStats()  # identity normalization during the scan
         # bypass the feature cache for the whole scan: identity-normalized
         # samples must not land in it, and at stats time nothing can be
-        # reused anyway (eviction churn would just burn memory bandwidth)
+        # reused anyway (eviction churn would just burn memory bandwidth).
+        # try/finally: a corrupt clip mid-scan must not leave the dataset
+        # cache-less with identity stats.
         cache, self._cache = self._cache, None
+        try:
+            return self._compute_stats_scan(cache, batch_size, save_stats,
+                                            save_path)
+        finally:
+            self._cache = cache
+            del prev_stats
 
+    def _compute_stats_scan(self, cache, batch_size, save_stats, save_path):
         def scan_samples():
             if self._frontend_cfg is not None:
                 n = len(self)
@@ -383,17 +392,12 @@ class AcousticDataset:
                                 mean=float(e_scaler.mean[0]) if e_scaler.mean is not None else 0.0,
                                 std=float(e_scaler.std[0]) if e_scaler.std is not None else 1.0),
         )
-        del prev_stats
-        self._cache = cache  # scan bypassed it; nothing stale to clear
+        if cache is not None:
+            # anything cached BEFORE this call holds pitch normalized with
+            # the superseded stats — clear so later hits use the new ones
+            cache.clear()
         if save_stats:
             path = save_path or os.path.join(self.data_root, "stats.json")
             self.stats.save(path)
             logger.info("saved dataset stats to %s", path)
         return self.stats
-
-    def _uncached(self, idx: int) -> AcousticSample:
-        cache, self._cache = self._cache, None
-        try:
-            return self[idx]
-        finally:
-            self._cache = cache

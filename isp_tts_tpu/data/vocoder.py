@@ -125,8 +125,13 @@ class VocoderDataset:
         if paired:
             frames = seg // hop
             mel = full_mel[start // hop: start // hop + frames]
-            if mel.shape[0] < frames:  # short clip: pad like the audio
-                mel = np.pad(mel, ((0, frames - mel.shape[0]), (0, 0)))
+            if mel.shape[0] < frames:
+                # short clip: the padded AUDIO is silence, whose log-mel is
+                # the compression floor log(1e-5) — zero-padding here would
+                # feed the generator full-amplitude frames paired with a
+                # silent target (ops/vocoder.log_mel_matmul clamp)
+                mel = np.pad(mel, ((0, frames - mel.shape[0]), (0, 0)),
+                             constant_values=float(np.log(1e-5)))
             mel = np.ascontiguousarray(mel, np.float32)
         return VocoderSample(
             filename=self.meta[idx].audio_path,

@@ -119,6 +119,12 @@ def export_serving(synth, path, text_bucket: int, frame_budget: int,
     blob = exported.serialize()
 
     exec_blob = exec_fp = None
+    if precompile and jax.default_backend() == "cpu":
+        logger.warning(
+            "--precompile on a CPU host: loaders ignore CPU executables "
+            "unless ISP_TTS_TPU_FORCE_EXEC=1 (XLA:CPU AOT loading is "
+            "machine-feature-fragile) — the embedded blob is dead weight "
+            "for most deployments")
     if precompile:
         # compile NOW for the current backend and ship the executable too:
         # the matching deployment host pays zero compile time on first load
@@ -208,13 +214,13 @@ class ExportedSynthesizer:
         import jax
 
         # XLA:CPU AOT executables are machine-feature-fragile when loaded
-        # in-process (observed symbol-lookup failures), and the axon TPU
-        # RELAY hangs in deserialize_and_load (measured; plain PJRT TPU
-        # hosts are fine) — both use the StableHLO + persistent-cache path.
-        # ISP_TTS_TPU_FORCE_EXEC=1 overrides for direct-attached hosts
-        # mislabeled by the platform probe.
+        # in-process (observed symbol-lookup failures) — CPU hosts use the
+        # StableHLO + persistent-cache path unless ISP_TTS_TPU_FORCE_EXEC=1.
+        # Accelerators load the embedded executable (measured on the v5e:
+        # 27 s first load vs 277 s StableHLO cold compile, bit-identical
+        # outputs — docs/PERF_R4.md).
         platform = getattr(jax.devices()[0], "platform", jax_default_backend())
-        allow_exec = (platform not in ("cpu", "axon")
+        allow_exec = (platform != "cpu"
                       or os.environ.get("ISP_TTS_TPU_FORCE_EXEC") == "1")
         self._loaded = None
         if exec_blob is not None and allow_exec and self._fingerprint_matches():

@@ -215,10 +215,14 @@ def _translate_layer_stacking(flat: dict, current: dict) -> dict:
             continue
         m = re.match(r"(.*)\.layers\.(\d+)\.(.*)", key)
         if m:
-            # per-layer model <- stacked checkpoint
+            # per-layer model <- stacked checkpoint; depth mismatches fall
+            # through to load_params' normal missing-key handling (fresh
+            # init) instead of crashing on an out-of-range layer index
             src = f"{m.group(1)}.stack.{m.group(3)}"
-            if src in out and np.ndim(out[src]) == np.ndim(cur) + 1:
-                out[key] = np.asarray(out[src])[int(m.group(2))]
+            i = int(m.group(2))
+            if (src in out and np.ndim(out[src]) == np.ndim(cur) + 1
+                    and i < np.shape(out[src])[0]):
+                out[key] = np.asarray(out[src])[i]
                 consumed.add(src)
     for s in consumed:
         out.pop(s, None)

@@ -222,7 +222,20 @@ class Transformer(nnx.Module):
         ctx = get_parallel_context()
         S = self.config.depth
         B = x.shape[0]
-        n_micro = ctx.n_micro if ctx.n_micro > 0 and B % ctx.n_micro == 0 else 1
+        live_stage = (ctx.stage_axis is not None and ctx.mesh is not None
+                      and ctx.stage_axis in ctx.mesh.shape
+                      and ctx.mesh.shape[ctx.stage_axis] > 1)
+        if ctx.n_micro > 0 and B % ctx.n_micro == 0:
+            n_micro = ctx.n_micro
+        elif live_stage:
+            # silently degrading to one microbatch would serialize the whole
+            # GPipe schedule ((S-1)/S bubble) — that's a config error, not a
+            # fallback (local single-device execution tolerates it below)
+            raise ValueError(
+                f"pipeline batch {B} not divisible by pipeline_microbatches="
+                f"{ctx.n_micro}")
+        else:
+            n_micro = 1
 
         graphdef, rng_state, params = nnx.split(self.stack, nnx.RngState, ...)
         pure = (nnx.to_pure_dict(params) if hasattr(nnx, "to_pure_dict")

@@ -16,6 +16,12 @@ model config, exactly like the reference's Accelerate property.
 
 Thread-local is unnecessary: JAX tracing is single-threaded per process and
 the context is read only at trace time.
+
+Ownership: the most recently constructed Trainer owns the global context
+for its lifetime (training, mid-train eval, and serving from the same
+process all read it). Constructing a second Trainer re-publishes — don't
+interleave two live Trainers with different strategies in one process; for
+scoped overrides (tests, tools) use the ``parallel_context`` manager.
 """
 
 from __future__ import annotations

@@ -126,24 +126,29 @@ def shard_params(state, mesh: Mesh, rules: list[tuple[str, P]] | None = None):
         if name.endswith(".value"):  # Variable leaf attribute
             name = name[: -len(".value")]
         # pipelined transformers store their layer stack with a leading
-        # stage axis (`<...>.stack.<...>`, see nn/transformer.py) — shard
-        # that axis over "stage" so each device holds only its own stages'
-        # parameters (the PP memory win), and shift any TP rule right by one
-        stacked = stage_size > 1 and ".stack." in name
+        # depth axis (`<...>.stack.<...>`, see nn/transformer.py): TP rules
+        # shift right by one REGARDLESS of the stage-axis size (the leading
+        # dim is the layer index even on a stage=1 mesh), and the leading
+        # axis itself shards over "stage" when that axis is real — each
+        # device then holds only its own stages' parameters (the PP memory
+        # win)
+        stacked = ".stack." in name or name.startswith("stack.")
         if model_size > 1:
             for pattern, candidate in rules:
                 if re.search(pattern, name):
                     spec = candidate
                     break
             # verify divisibility; fall back to replication
-            dims = tuple(spec)
-            for axis, p_axis in enumerate(dims):
+            for axis, p_axis in enumerate(tuple(spec)):
                 if p_axis == "model" and leaf.shape[axis + stacked] % model_size != 0:
                     spec = P()
                     break
-        if stacked and hasattr(leaf, "ndim") and leaf.ndim >= 1 \
-                and leaf.shape[0] % stage_size == 0:
-            spec = P(*(("stage",) + tuple(spec)))
+        if stacked:
+            lead = ("stage" if (stage_size > 1 and hasattr(leaf, "ndim")
+                                and leaf.ndim >= 1
+                                and leaf.shape[0] % stage_size == 0)
+                    else None)
+            spec = P(*((lead,) + tuple(spec)))
         sharding = NamedSharding(mesh, spec)
         if multiprocess:
             # device_put rejects shardings spanning non-addressable devices;

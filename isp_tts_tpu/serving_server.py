@@ -187,6 +187,20 @@ class TTSServer:
                         if t.name == "tts-encoder"), None)
         if encoder is not None:
             encoder.join(timeout=30)
+        # a batcher stuck past its join timeout (e.g. a cold compile) can
+        # still enqueue an encode job AFTER the encoder exited — fail any
+        # such orphans so their handler threads don't sit out the timeout
+        while True:
+            try:
+                job = self._encode_queue.get_nowait()
+            except queue.Empty:
+                break
+            if job is None:
+                continue
+            for r in job[0]:
+                if not r.done.is_set():
+                    r.error = "server shutting down"
+                    r.done.set()
         # fail anything still queued so blocked handler threads respond
         # promptly instead of sitting out the full request timeout
         while True:
@@ -317,8 +331,16 @@ class TTSServer:
                     self.stats["max_coalesced"] = max(
                         self.stats["max_coalesced"], len(reqs))
             # hand host-side encoding to the encoder thread: the batcher is
-            # free to dispatch the NEXT window's device call immediately
-            self._encode_queue.put((reqs, outs, fmt))
+            # free to dispatch the NEXT window's device call immediately.
+            # During shutdown the encoder may already be gone — fail the
+            # requests directly rather than orphaning them on the queue.
+            if self._stopping:
+                for r in reqs:
+                    if not r.done.is_set():
+                        r.error = "server shutting down"
+                        r.done.set()
+            else:
+                self._encode_queue.put((reqs, outs, fmt))
         except ValueError as e:
             # a bad INPUT (e.g. text over the largest bucket): isolate the
             # poison request by retrying each alone so only the offender

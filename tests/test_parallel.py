@@ -369,3 +369,36 @@ def test_sp_pp_recipes_train(tmp_path):
         losses = [h["train_step/loss"] for h in trainer.state.log_history
                   if "train_step/loss" in h]
         assert losses and np.isfinite(losses[-1]), name
+
+
+def test_shard_params_stacked_tp_shift():
+    """TP rules on stacked (pipeline) params shift one axis right for the
+    leading depth dim — independent of the stage-axis size (review r4)."""
+    from isp_tts_tpu.config import build_config
+    from isp_tts_tpu.nn import Transformer, TransformerConfig
+
+    cfg = build_config(TransformerConfig, {
+        "dim": 32, "depth": 2, "pipeline": True, "transformer_layer": {
+            "attention": {"heads": 4, "head_dim": 16, "one_kv_head": True},
+            "feed_forward": {"inner_dim": 64}}})
+    model = Transformer(cfg, rngs=nnx.Rngs(0))
+
+    # stage=1 mesh with TP: the stacked fc1 kernel (depth, in, out) must
+    # shard its OUT dim (axis 2), not axis 1
+    mesh = make_mesh(data=-1, model=2, stage=1)
+    state = shard_params(nnx.state(model), mesh)
+    nnx.update(model, state)
+    fc1 = model.stack.feed_forward.fc1.kernel.value
+    spec1 = tuple(fc1.sharding.spec)
+    # (depth, in, out): out (axis 2) shards, leading depth axis replicated
+    assert len(spec1) >= 3 and spec1[0] is None and spec1[2] == "model", spec1
+
+    # stage=2 mesh: leading depth axis shards over "stage" AND the TP dim
+    # keeps its shifted position
+    model2 = Transformer(cfg, rngs=nnx.Rngs(0))
+    mesh2 = make_mesh(data=-1, model=2, stage=2)
+    state2 = shard_params(nnx.state(model2), mesh2)
+    nnx.update(model2, state2)
+    fc1b = model2.stack.feed_forward.fc1.kernel.value
+    spec = tuple(fc1b.sharding.spec)
+    assert spec[0] == "stage" and spec[-1] == "model", spec
