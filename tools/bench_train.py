@@ -273,12 +273,21 @@ def _print_mfu(f_large, state, opt_state, args, per_step, model_cfg):
                 * (n * int(a["heads"])) * m * int(a["head_dim"]) * B)
 
     ta = model_cfg["temporal_adaptor"]
-    flash = (attn_flops(args.text_len, args.text_len, model_cfg["encoder"])
-             + attn_flops(args.mel_len, args.mel_len, model_cfg["decoder"])
-             + attn_flops(args.text_len, args.text_len,
-                          ta["predictor"]["transformer"])
-             + attn_flops(args.mel_len, args.mel_len,
-                          ta["embedding"]["transformer"]))
+    if getattr(args, "ring", False):
+        # ring mode: enc/dec attention runs as plain einsums, which the HLO
+        # census already counts — adding the flash-analytic term would
+        # double-count it (the predictor/embedding stacks still use flash)
+        flash = (attn_flops(args.text_len, args.text_len,
+                            ta["predictor"]["transformer"])
+                 + attn_flops(args.mel_len, args.mel_len,
+                              ta["embedding"]["transformer"]))
+    else:
+        flash = (attn_flops(args.text_len, args.text_len, model_cfg["encoder"])
+                 + attn_flops(args.mel_len, args.mel_len, model_cfg["decoder"])
+                 + attn_flops(args.text_len, args.text_len,
+                              ta["predictor"]["transformer"])
+                 + attn_flops(args.mel_len, args.mel_len,
+                              ta["embedding"]["transformer"]))
     total = xla_flops + flash
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in _PEAK_TFLOPS.items() if k in kind), 197.0)
