@@ -232,9 +232,19 @@ class Attention(nnx.Module):
         else:
             bias = None
             if self.rel_pos is not None:
-                bias = (shared_bias if shared_bias is not None
-                        else self.rel_pos(n, m, offset=m - n))
-                shared_bias = bias
+                # what is SHARED across the stack is the slope-free distance
+                # matrix (reference attention.py:148-152 caches get_bias's
+                # output); each layer applies ITS OWN learned slopes — after
+                # training the per-layer slopes differ, and reusing layer
+                # 0's slope-multiplied bias would serve layers 1+ with the
+                # wrong slopes (the flash/ring paths already use per-layer
+                # slopes; this keeps the einsum path consistent with them)
+                from .embeddings import alibi_distance_bias
+
+                dist = (shared_bias if shared_bias is not None
+                        else alibi_distance_bias(n, m, m - n))
+                shared_bias = dist
+                bias = self.rel_pos.apply_slopes(dist, offset=m - n)
             out = scaled_dot_product_attention(
                 q_nhd.transpose(0, 2, 1, 3), k, v, scale=self.scale,
                 bias=bias, mask=attn_mask, causal=self.causal,

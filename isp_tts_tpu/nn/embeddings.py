@@ -79,6 +79,15 @@ class LearnedALiBiBias(nnx.Module):
     def __call__(self, n_q: int, n_k: int, offset: int = 0) -> jnp.ndarray:
         """Bias of shape (total_heads, n_q, n_k); extra heads get zero bias."""
         dist = alibi_distance_bias(n_q, n_k, offset)  # (n_q, n_k), <= 0
+        return self.apply_slopes(dist, offset=offset)
+
+    def apply_slopes(self, dist: jnp.ndarray, offset: int = 0) -> jnp.ndarray:
+        """THIS layer's learned slopes applied to a (possibly layer-shared)
+        precomputed distance matrix — what the reference shares across the
+        stack is the slope-free distances (attention.py:148-152), NOT the
+        slope-multiplied bias: every layer's own slopes must multiply, or
+        layers 1+ would serve with layer 0's trained slopes."""
+        n_q, n_k = dist.shape
         slopes = jnp.exp(self.log_slopes.value)
         if self.symmetric:
             bias = slopes * dist[None]

@@ -231,3 +231,42 @@ def test_fast_dropout_mask_regeneration():
     assert not np.array_equal(np.asarray(drop(x)), np.asarray(x))
     drop.eval()
     np.testing.assert_array_equal(np.asarray(drop(x)), np.asarray(x))
+
+
+def test_per_layer_alibi_slopes_are_live_on_einsum_path():
+    """What the stack SHARES is the slope-free distance matrix; each
+    layer's own learned slopes must multiply (reference attention.py:148-152
+    caches get_bias's output only). Before the round-4 fix, layers 1+
+    reused layer 0's slope-multiplied bias on the einsum path, so a trained
+    checkpoint's layer-1 slopes were dead at serve time."""
+    import jax.numpy as jnp
+    import numpy as np
+    from flax import nnx
+
+    from isp_tts_tpu.config import build_config
+    from isp_tts_tpu.nn import Transformer, TransformerConfig
+
+    cfg = build_config(TransformerConfig, {
+        "dim": 32, "depth": 2, "transformer_layer": {
+            "attention": {"heads": 2, "head_dim": 16, "one_kv_head": True,
+                          "alibi_pos_bias": True, "flash": "off"},
+            "feed_forward": {"inner_dim": 64}}})
+    tf = Transformer(cfg, rngs=nnx.Rngs(0))
+    tf.eval()
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 12, 32), jnp.float32)
+    base = np.asarray(tf(x).out)
+
+    # perturb ONLY layer 1's slopes: the output must change
+    sl = tf.layers[1].attention.rel_pos.log_slopes
+    sl.value = sl.value + 1.0
+    moved = np.asarray(tf(x).out)
+    assert np.abs(moved - base).max() > 1e-4, \
+        "layer-1 slopes are dead weights on the einsum path"
+
+    # and layer-0 perturbation still matters too (sharing not inverted)
+    tf2 = Transformer(cfg, rngs=nnx.Rngs(0))
+    tf2.eval()
+    s0 = tf2.layers[0].attention.rel_pos.log_slopes
+    s0.value = s0.value + 1.0
+    moved0 = np.asarray(tf2(x).out)
+    assert np.abs(moved0 - base).max() > 1e-4
