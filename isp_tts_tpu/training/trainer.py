@@ -128,6 +128,15 @@ class Trainer:
         self.num_processes = jax.process_count()
         self.process_index = jax.process_index()
         self.is_main_process = self.process_index == 0
+        if (self.num_processes > 1
+                and self.mesh.shape["data"] % self.num_processes != 0):
+            # each process feeds its local shard of every batch through the
+            # data axis; with fewer data slots than processes the local
+            # shards have nowhere to land (observed: a silent zero-step run)
+            raise ValueError(
+                f"mesh data axis ({self.mesh.shape['data']}) must be a "
+                f"multiple of the process count ({self.num_processes}); "
+                "lower mesh_model/seq/pipeline_axis or add devices")
 
         self.state = TrainerState(is_main_process=self.is_main_process)
         self.control = TrainerControl()

@@ -196,6 +196,14 @@ def strategy_training(root, outdir, recipes):
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     root, outdir = sys.argv[4], sys.argv[5]
+    # "phase4": run ONLY the SP/PP strategy phase, in fresh processes.
+    # XLA:CPU gloo deadlocks when one process lifetime creates a SECOND
+    # distinct cross-process communicator-clique structure (the dp
+    # trainer's 8-device clique followed by sp's pairwise cliques hangs
+    # context init on both ranks — reproduced deterministically; fresh
+    # processes run the same programs fine). Real TPU pods don't use gloo,
+    # so this split is a test-harness accommodation, not product design.
+    mode = sys.argv[6] if len(sys.argv) > 6 else "full"
 
     n_local = 8 // nproc
     flags = os.environ.get("XLA_FLAGS", "")
@@ -223,6 +231,15 @@ def main():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recipes = os.path.join(repo, "recipes")
+
+    if mode == "phase4":
+        result = {"process_id": pid, "num_processes": nproc,
+                  "phase4": strategy_training(root, outdir, recipes)}
+        with open(os.path.join(outdir, f"result_p4_{nproc}p_{pid}.json"),
+                  "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"worker {pid}/{nproc} phase4 done")
+        return
 
     # record every checkpoint write THIS process performs (the filesystem is
     # shared, so rank-0-only write discipline is observable only this way)
@@ -269,11 +286,9 @@ def main():
     }
 
     phase3 = cross_host_collectives(pid)
-    phase4 = strategy_training(root, outdir, recipes)
 
     result = {"process_id": pid, "num_processes": nproc,
-              "phase1": phase1, "phase2": phase2, "phase3": phase3,
-              "phase4": phase4}
+              "phase1": phase1, "phase2": phase2, "phase3": phase3}
     with open(os.path.join(outdir, f"result_{nproc}p_{pid}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(f"worker {pid}/{nproc} done: phase1 losses={phase1['losses']}")
