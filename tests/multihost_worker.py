@@ -156,7 +156,7 @@ def cross_host_collectives(pid):
     return {"ring_rel_err": ring_err, "pipeline_rel_err": pipe_err}
 
 
-def strategy_training(root, outdir, recipes):
+def strategy_training(root, outdir, recipes, which: str = "both"):
     """Phase 4: recipe-selectable SP and PP through the REAL Trainer across
     the process group (round 4): `mesh_seq_axis` ring-shards the
     encoder/decoder attention over a live seq axis while the batch stays
@@ -184,13 +184,16 @@ def strategy_training(root, outdir, recipes):
         trainer.train()
         return loss_history(trainer)
 
-    sp_losses = run(
-        "sp", {"encoder.transformer_layer.attention.flash": "ring"},
-        mesh_seq_axis=4)
-    pp_losses = run(
-        "pp", {"encoder.depth": 2, "encoder.pipeline": True},
-        mesh_pipeline_axis=2)
-    return {"sp_losses": sp_losses, "pp_losses": pp_losses}
+    out = {}
+    if which in ("both", "sp"):
+        out["sp_losses"] = run(
+            "sp", {"encoder.transformer_layer.attention.flash": "ring"},
+            mesh_seq_axis=4)
+    if which in ("both", "pp"):
+        out["pp_losses"] = run(
+            "pp", {"encoder.depth": 2, "encoder.pipeline": True},
+            mesh_pipeline_axis=2)
+    return out
 
 
 def main():
@@ -232,13 +235,16 @@ def main():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recipes = os.path.join(repo, "recipes")
 
-    if mode == "phase4":
+    if mode.startswith("phase4"):
+        # one strategy per PROCESS GROUP: even two different clique
+        # structures within one fresh process can hit the gloo race
+        which = mode.split("_", 1)[1] if "_" in mode else "both"
         result = {"process_id": pid, "num_processes": nproc,
-                  "phase4": strategy_training(root, outdir, recipes)}
-        with open(os.path.join(outdir, f"result_p4_{nproc}p_{pid}.json"),
+                  "phase4": strategy_training(root, outdir, recipes, which)}
+        with open(os.path.join(outdir, f"result_{mode}_{nproc}p_{pid}.json"),
                   "w") as f:
             json.dump(result, f, indent=1)
-        print(f"worker {pid}/{nproc} phase4 done")
+        print(f"worker {pid}/{nproc} {mode} done")
         return
 
     # record every checkpoint write THIS process performs (the filesystem is

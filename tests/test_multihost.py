@@ -100,7 +100,7 @@ def _run_group(nproc, root, outdir, timeout=2400, attempts=6, mode="full"):
                 assert p.returncode == 0, \
                     f"worker {p.args} failed:\n{out[-4000:]}"
     results = []
-    prefix = "result_p4" if mode == "phase4" else "result"
+    prefix = f"result_{mode}" if mode != "full" else "result"
     for i in range(nproc):
         with open(Path(outdir) / f"{prefix}_{nproc}p_{i}.json") as f:
             results.append(json.load(f))
@@ -143,17 +143,19 @@ def test_two_process_training_matches_single_process(toy_root, tmp_path):
         assert r["phase3"]["ring_rel_err"] < 1e-4, r["phase3"]
         assert r["phase3"]["pipeline_rel_err"] < 1e-4, r["phase3"]
 
-    # recipe-selectable SP / PP training across the process group, in
-    # FRESH worker processes (XLA:CPU gloo deadlocks on a second distinct
-    # cross-process clique structure per process — see multihost_worker):
-    # both ranks computed the same global losses (SPMD)
-    p0, p1 = _run_group(2, toy_root, tmp_path / "mh2p4", mode="phase4")
-    np.testing.assert_allclose(p0["phase4"]["sp_losses"],
-                               p1["phase4"]["sp_losses"], rtol=1e-6)
-    np.testing.assert_allclose(p0["phase4"]["pp_losses"],
-                               p1["phase4"]["pp_losses"], rtol=1e-6)
-    assert len(p0["phase4"]["sp_losses"]) == 2
-    assert len(p0["phase4"]["pp_losses"]) == 2
+    # recipe-selectable SP / PP training across the process group, each
+    # strategy in its OWN fresh worker group (XLA:CPU gloo races context
+    # init when one process creates multiple distinct cross-process clique
+    # structures — see multihost_worker): both ranks computed the same
+    # global losses (SPMD)
+    s0, s1 = _run_group(2, toy_root, tmp_path / "mh2sp", mode="phase4_sp")
+    q0, q1 = _run_group(2, toy_root, tmp_path / "mh2pp", mode="phase4_pp")
+    np.testing.assert_allclose(s0["phase4"]["sp_losses"],
+                               s1["phase4"]["sp_losses"], rtol=1e-6)
+    np.testing.assert_allclose(q0["phase4"]["pp_losses"],
+                               q1["phase4"]["pp_losses"], rtol=1e-6)
+    assert len(s0["phase4"]["sp_losses"]) == 2
+    assert len(q0["phase4"]["pp_losses"]) == 2
 
     # --- equivalence with a single-process 8-device run ---
     one = _run_group(1, toy_root, tmp_path / "mh1")[0]
@@ -167,8 +169,9 @@ def test_two_process_training_matches_single_process(toy_root, tmp_path):
 
     # dp x sp / dp x pp trained the same losses as the 1-process run of the
     # identical recipe (strategy = config, numerics invariant)
-    one_p4 = _run_group(1, toy_root, tmp_path / "mh1p4", mode="phase4")[0]
-    np.testing.assert_allclose(p0["phase4"]["sp_losses"],
-                               one_p4["phase4"]["sp_losses"], rtol=5e-3)
-    np.testing.assert_allclose(p0["phase4"]["pp_losses"],
-                               one_p4["phase4"]["pp_losses"], rtol=5e-3)
+    one_sp = _run_group(1, toy_root, tmp_path / "mh1sp", mode="phase4_sp")[0]
+    one_pp = _run_group(1, toy_root, tmp_path / "mh1pp", mode="phase4_pp")[0]
+    np.testing.assert_allclose(s0["phase4"]["sp_losses"],
+                               one_sp["phase4"]["sp_losses"], rtol=5e-3)
+    np.testing.assert_allclose(q0["phase4"]["pp_losses"],
+                               one_pp["phase4"]["pp_losses"], rtol=5e-3)
