@@ -17,11 +17,15 @@ model config, exactly like the reference's Accelerate property.
 Thread-local is unnecessary: JAX tracing is single-threaded per process and
 the context is read only at trace time.
 
-Ownership: the most recently constructed Trainer owns the global context
-for its lifetime (training, mid-train eval, and serving from the same
-process all read it). Constructing a second Trainer re-publishes — don't
-interleave two live Trainers with different strategies in one process; for
-scoped overrides (tests, tools) use the ``parallel_context`` manager.
+Ownership: strategy state is SCOPED, never leaked. The Trainer activates
+its context only around the work that traces under it (``train()`` /
+``evaluate()``) and restores the previous context on exit — building a PP
+trainer and then running a local, stage-free model in the same process
+sees the default context again (the reference gets the same hygiene from
+strategy state living inside its Accelerate objects,
+`tts/experiments/trainer.py:203`). For scoped overrides in tests and
+tools use the ``parallel_context`` manager; ``reset_parallel_context``
+restores the defaults unconditionally.
 """
 
 from __future__ import annotations
@@ -58,6 +62,26 @@ def get_parallel_context() -> ParallelContext:
 def set_parallel_context(ctx: ParallelContext) -> None:
     global _context
     _context = ctx
+
+
+def reset_parallel_context() -> None:
+    """Restore the default (single-device) context unconditionally."""
+    global _context
+    _context = ParallelContext()
+
+
+@contextmanager
+def activated(ctx: ParallelContext):
+    """Make ``ctx`` the live context for the dynamic extent of the block,
+    restoring whatever was live before on exit (re-entrant: a mid-train
+    ``evaluate()`` re-activates the same trainer's context harmlessly)."""
+    global _context
+    prev = _context
+    _context = ctx
+    try:
+        yield ctx
+    finally:
+        _context = prev
 
 
 @contextmanager

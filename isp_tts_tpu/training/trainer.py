@@ -115,16 +115,19 @@ class Trainer:
         self.mesh = make_mesh(data=-1, model=config.mesh_model_axis,
                               seq=config.mesh_seq_axis,
                               stage=config.mesh_pipeline_axis, devices=devices)
-        # publish the live axes so Attention(flash="ring") / pipelined
-        # Transformers pick the strategy up at trace time (strategy = config,
-        # like the reference's Accelerate prepare, trainer.py:203)
-        from ..parallel.context import ParallelContext, set_parallel_context
+        # the live axes Attention(flash="ring") / pipelined Transformers pick
+        # up at trace time (strategy = config, like the reference's Accelerate
+        # prepare, trainer.py:203). NOT published globally here: it is
+        # activated only around train()/evaluate() and restored afterwards, so
+        # a PP/SP trainer can never leak stage/seq strategy into unrelated
+        # work in the same process.
+        from ..parallel.context import ParallelContext
 
-        set_parallel_context(ParallelContext(
+        self.parallel_ctx = ParallelContext(
             mesh=self.mesh,
             seq_axis="seq" if config.mesh_seq_axis > 1 else None,
             stage_axis="stage" if config.mesh_pipeline_axis > 1 else None,
-            n_micro=config.pipeline_microbatches))
+            n_micro=config.pipeline_microbatches)
         self.num_processes = jax.process_count()
         self.process_index = jax.process_index()
         self.is_main_process = self.process_index == 0
@@ -240,15 +243,44 @@ class Trainer:
         self._restore_opt_state()
 
     def _restore_opt_state(self):
-        """Rebuild ``self.opt_state`` from checkpointed leaves (the structure
-        is rebuilt from code at init; only leaf values travel)."""
-        if self._restored_opt_state is None:
+        """Rebuild ``self.opt_state`` from the checkpoint (the structure is
+        rebuilt from code at init; only leaf values travel).
+
+        Current files carry PATH-KEYED leaves (self-describing checkpoint
+        discipline, SURVEY §5.4 / reference trainer.py:357-386): every leaf
+        is stored under its tree path, so a code change that reorders the
+        optimizer tree still reassigns moments correctly — and a genuine
+        structure change fails loudly instead of silently misassigning.
+        Pre-round-5 files carry an ordered leaf list; those keep the old
+        count-checked order-based restore."""
+        blob = self._restored_opt_state
+        if blob is None:
             return
+        keyed = blob.get("keyed") if isinstance(blob, dict) else None
+        if keyed is not None:
+            paths_leaves, structure = jax.tree_util.tree_flatten_with_path(
+                self.opt_state)
+            want = [jax.tree_util.keystr(p) for p, _ in paths_leaves]
+            missing = [k for k in want if k not in keyed]
+            unknown = [k for k in keyed if k not in set(want)]
+            if missing or unknown:
+                raise ValueError(
+                    "optimizer state does not match the checkpoint: "
+                    f"missing keys {missing[:5]}{'...' if len(missing) > 5 else ''}, "
+                    f"unknown keys {unknown[:5]}{'...' if len(unknown) > 5 else ''} "
+                    f"({len(missing)} missing / {len(unknown)} unknown of "
+                    f"{len(want)}); pass restore_optimizer=false to reinitialize")
+            self.opt_state = jax.tree_util.tree_unflatten(
+                structure, [keyed[k] for k in want])
+            logger.info("restored optimizer state (%d path-keyed leaves)",
+                        len(want))
+            return
+        leaves = blob["leaves"] if isinstance(blob, dict) else blob
         structure = jax.tree_util.tree_structure(self.opt_state)
-        leaves = self._restored_opt_state
         if structure.num_leaves == len(leaves):
             self.opt_state = jax.tree_util.tree_unflatten(structure, leaves)
-            logger.info("restored optimizer state (%d leaves)", len(leaves))
+            logger.info("restored optimizer state (%d ordered leaves, "
+                        "legacy format)", len(leaves))
         else:
             logger.warning(
                 "optimizer state mismatch (%d vs %d leaves); reinitialized",
@@ -325,17 +357,24 @@ class Trainer:
     # training
     # ------------------------------------------------------------------
 
+    def _activate(self):
+        """Scope this trainer's parallel strategy to the enclosed block."""
+        from ..parallel.context import activated
+
+        return activated(self.parallel_ctx)
+
     def train(self):
         """Train with the final-save guarantee (reference trainer.py:261-271).
         Under ``eval_mode``/``do_train: false`` returns the single evaluation
         pass's metrics instead."""
-        try:
-            return self._train()
-        finally:
-            if self.state.global_step > 0:
-                self._save_checkpoint(LAST_CHECKPOINT)
-                if self.is_main_process:
-                    self.state.to_json(self.run_dir / TRAINER_STATE_FILE)
+        with self._activate():
+            try:
+                return self._train()
+            finally:
+                if self.state.global_step > 0:
+                    self._save_checkpoint(LAST_CHECKPOINT)
+                    if self.is_main_process:
+                        self.state.to_json(self.run_dir / TRAINER_STATE_FILE)
 
     def _train(self):
         cfg = self.config
@@ -505,6 +544,10 @@ class Trainer:
     def evaluate(self, eval_dataset=None) -> dict:
         """One evaluation pass; ``eval_dataset`` overrides the configured
         eval split for an ad-hoc run (reference trainer.py:336-341)."""
+        with self._activate():
+            return self._evaluate(eval_dataset)
+
+    def _evaluate(self, eval_dataset=None) -> dict:
         loader = (self._make_loader(eval_dataset, self.config.eval_batch_size,
                                     shuffle=False)
                   if eval_dataset is not None else self.eval_loader)
@@ -590,10 +633,11 @@ class Trainer:
         # host materialization runs on EVERY process in the same order:
         # cross-host-sharded leaves (multi-host TP) are collective allgathers
         model_state = self.model.state_dict()
-        opt_leaves = (
-            [gather_to_host(l) for l in jax.tree_util.tree_leaves(self.opt_state)]
-            if self.config.save_optimizer else None
-        )
+        opt_keyed = None
+        if self.config.save_optimizer:
+            paths_leaves, _ = jax.tree_util.tree_flatten_with_path(self.opt_state)
+            opt_keyed = {jax.tree_util.keystr(p): gather_to_host(l)
+                         for p, l in paths_leaves}
 
         if self.is_main_process:
             from ..config.registry import config_to_dict
@@ -612,11 +656,13 @@ class Trainer:
                     "state": model_state,
                 },
             }
-            if opt_leaves is not None:
-                # leaf-order serialization: the structure is rebuilt from code
-                # at init, so only leaf values travel (same-version resume)
+            if opt_keyed is not None:
+                # path-keyed serialization: the structure is rebuilt from
+                # code at init; leaves travel under their tree paths so a
+                # reordered tree still restores correctly (and a changed one
+                # fails loudly in _restore_opt_state)
                 payload["optimizer"] = {
-                    "leaves": opt_leaves,
+                    "keyed": opt_keyed,
                     "base_lr": float(self.schedule.base_lr),
                 }
             path = self.run_dir / name
@@ -680,10 +726,13 @@ class Trainer:
                             self.state.global_step, self.state.epoch)
         if (cfg.restore_optimizer or not cfg.warm_start) and "optimizer" in ckpt:
             blob = ckpt["optimizer"]
-            leaves = blob.get("leaves")
-            if isinstance(leaves, dict):  # msgpack restores lists as int-keyed dicts
-                leaves = [leaves[k] for k in sorted(leaves, key=int)]
-            self._restored_opt_state = leaves
+            if blob.get("keyed") is not None:
+                self._restored_opt_state = {"keyed": blob["keyed"]}
+            else:
+                leaves = blob.get("leaves")
+                if isinstance(leaves, dict):  # msgpack restores lists as int-keyed dicts
+                    leaves = [leaves[k] for k in sorted(leaves, key=int)]
+                self._restored_opt_state = {"leaves": leaves}
             self._restored_base_lr = blob.get("base_lr")
 
 

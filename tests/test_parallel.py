@@ -313,6 +313,40 @@ def test_trainer_pipeline_parallel_matches_local(tmp_path):
     np.testing.assert_allclose(loss_pp, loss_local, rtol=2e-4)
 
 
+def test_pp_trainer_does_not_leak_strategy(tmp_path):
+    """Regression (round-4 verdict weak #1): a PP trainer's stage strategy
+    must be scoped to its train()/evaluate() calls. After training, local
+    stage-free work in the same process — including a pipeline=True module
+    with a batch the stale n_micro would reject — must run normally."""
+    from flax import nnx
+
+    from isp_tts_tpu.nn.transformer import Transformer, TransformerConfig
+    from isp_tts_tpu.parallel.context import get_parallel_context
+
+    root = tmp_path / "ds"
+    _make_toy(root)
+    piped = {"encoder.depth": 2, "encoder.pipeline": True}
+    t_pp = _e2e_trainer(root, tmp_path / "pp", model_over=piped,
+                        mesh_pipeline_axis=2)
+    t_pp.train()
+
+    ctx = get_parallel_context()
+    assert ctx.mesh is None and ctx.stage_axis is None and ctx.seq_axis is None
+
+    # batch of 2 is NOT divisible by the trainer's pipeline_microbatches:
+    # with stale strategy this raised at nn/transformer's schedule guard
+    cfg = TransformerConfig(
+        dim=16, depth=2, pipeline=True,
+        transformer_layer={"attention": {"heads": 2, "head_dim": 8,
+                                         "one_kv_head": True,
+                                         "alibi_pos_bias": True}})
+    tf = Transformer(cfg, rngs=nnx.Rngs(0))
+    tf.eval()
+    x = jnp.zeros((2, 8, 16), jnp.float32)
+    out = tf(x).out
+    assert out.shape == (2, 8, 16)
+
+
 def _make_toy(root):
     from isp_tts_tpu.data.audio import write_wav
 
