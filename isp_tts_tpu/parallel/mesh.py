@@ -54,14 +54,18 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, stacked: bool = False) -> dict:
     """Device-put a host batch with the leading axis sharded over ``data``.
 
     Non-array entries (filenames, raw strings) are passed through. In
     multi-process runs each host holds only its shard of the global batch and
     a global array is assembled across processes.
+
+    ``stacked=True``: the arrays carry a leading K (steps-per-call) axis in
+    front of the batch axis — K is replicated, batch shards over ``data``.
     """
-    sharding = batch_sharding(mesh)
+    sharding = (NamedSharding(mesh, P(None, "data")) if stacked
+                else batch_sharding(mesh))
     out = {}
     multiprocess = jax.process_count() > 1
     for key, value in batch.items():

@@ -172,5 +172,11 @@ class GANTrainer(Trainer):
 
         self._train_step_fn = train_step
         self._eval_step_fn = eval_step
+        # chunked dispatch is a single-optimizer-path feature; GAN training
+        # alternates two updates per batch and stays per-step
+        self._train_chunk_fn = None
+        if self.config.steps_per_call > 1:
+            logger.warning("steps_per_call > 1 is not supported by "
+                           "GANTrainer; training per-step")
         self._cached_mode = None
         self._steps_built = True

@@ -153,24 +153,30 @@ class Trainer:
 
         # --- data ---
         self.collator = collator
-        if (self.num_processes > 1 and collator is not None
+        needs_fixed = (self.num_processes > 1 or config.steps_per_call > 1)
+        if (needs_fixed and collator is not None
                 and hasattr(collator, "config")
                 and hasattr(collator.config, "fixed_shape")
                 and not collator.config.fixed_shape):
-            # each process collates only its local shard; bucket-by-local-max
-            # would let processes disagree on the same global batch's shape
+            # multi-process: each process collates only its local shard;
+            # bucket-by-local-max would let processes disagree on the same
+            # global batch's shape. steps_per_call > 1: the K batches of a
+            # chunk are stacked into one device array, so they must share
+            # one shape.
+            why = ("multi-process" if self.num_processes > 1
+                   else f"steps_per_call={config.steps_per_call}")
             if (collator.config.max_text_len is None
                     or collator.config.max_mel_len is None):
                 raise ValueError(
-                    "multi-process training requires fixed-shape collation, "
+                    f"{why} training requires fixed-shape collation, "
                     "which needs collator max_text_len AND max_mel_len set "
                     "(got text=%s, mel=%s) — failing now instead of after "
                     "compile at the first batch" % (
                         collator.config.max_text_len,
                         collator.config.max_mel_len))
             collator.config.fixed_shape = True
-            logger.info("multi-process run: forcing fixed-shape collation "
-                        "(%s text x %s mel)", collator.config.max_text_len,
+            logger.info("%s run: forcing fixed-shape collation "
+                        "(%s text x %s mel)", why, collator.config.max_text_len,
                         collator.config.max_mel_len)
         self.train_loader = self._make_loader(train_dataset, config.batch_size,
                                               shuffle=config.shuffle) if train_dataset else None
@@ -336,8 +342,60 @@ class Trainer:
 
         self._train_step_fn = train_step
         self._eval_step_fn = eval_step
+        self._train_chunk_fn = (self._build_chunk_step()
+                                if self.config.steps_per_call > 1 else None)
         self._cached_mode = None
         self._steps_built = True
+
+    def _build_chunk_step(self):
+        """K micro-steps chained device-side through one lax.scan: one host
+        dispatch (and one relay round-trip) covers K optimizer updates,
+        hiding the per-step dispatch latency that dominated real-CLI wall
+        time (the reference hides the same latency behind CUDA async
+        dispatch, tts/experiments/trainer.py:538-549). Numerics == K calls
+        of the per-step function: same batches, per-step LR array, the
+        model's own RNG/BatchStat state threads through the scan carry."""
+        criterion = self.criterion
+        tx = self.tx
+        grad_accum = self._grad_accum
+        has_mask = self._has_freeze_mask
+
+        @nnx.jit
+        def train_chunk(model, opt_state, batches, steps, lrs):
+            graphdef, state = nnx.split(model)
+
+            def body(carry, xs):
+                state, opt_state = carry
+                batch, step, lr = xs
+                m = nnx.merge(graphdef, state)
+
+                def loss_fn(m):
+                    inputs = m.prepare_inputs(batch)
+                    outputs = m(**inputs)
+                    loss, losses = criterion(inputs, outputs, step)
+                    return loss.astype(jnp.float32), losses
+
+                (loss, losses), grads = nnx.value_and_grad(
+                    loss_fn, has_aux=True)(m)
+                grad_norm = optax_global_norm(grads)
+                opt_state = set_learning_rate(
+                    opt_state, lr, grad_accum, has_mask)
+                params = nnx.state(m, nnx.Param)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                nnx.update(m, optax_apply_updates(params, updates))
+                metrics = {
+                    "loss": loss,
+                    **{k: v.astype(jnp.float32) for k, v in losses.items()},
+                    "stats/grad_norm": grad_norm}
+                _, state = nnx.split(m)
+                return (state, opt_state), metrics
+
+            (state, opt_state), metrics = jax.lax.scan(
+                body, (state, opt_state), (batches, steps, lrs))
+            nnx.update(model, state)
+            return opt_state, metrics
+
+        return train_chunk
 
     def _step_for_mode(self, mode: str):
         """nnx.jit traversal of a 23M-param module costs ~40ms/call; cache the
@@ -350,6 +408,9 @@ class Trainer:
                 self.model.eval()
             self._cached_train = nnx.cached_partial(self._train_step_fn, self.model)
             self._cached_eval = nnx.cached_partial(self._eval_step_fn, self.model)
+            self._cached_chunk = (
+                nnx.cached_partial(self._train_chunk_fn, self.model)
+                if self._train_chunk_fn is not None else None)
             self._cached_mode = mode
         return self._cached_train if mode == "train" else self._cached_eval
 
@@ -443,25 +504,24 @@ class Trainer:
         if not hasattr(self, "_micro_step"):
             self._micro_step = 0
 
+        if (is_train and self.config.steps_per_call > 1
+                and self._train_chunk_fn is not None):
+            return self._run_epoch_chunked(loader, epoch_acc, step_acc)
+
         data_t0 = time.perf_counter()
         for host_batch in loader:
-            batch = shard_batch(host_batch, self.mesh)
-            meta = {k: v for k, v in batch.items()
-                    if not isinstance(v, (np.ndarray, jax.Array))}
-            batch = {k: v for k, v in batch.items()
-                     if isinstance(v, (np.ndarray, jax.Array))}
-            data_time = time.perf_counter() - data_t0
-
-            self.callbacks.on_step_begin(cfg, self.state, self.control)
-            model_t0 = time.perf_counter()
-            step_arr = jnp.asarray(self.state.global_step, jnp.int32)
             if is_train:
-                lr = self.schedule(self.state.global_step, int(self.state.epoch))
-                self.opt_state = self._apply_lr(lr)
-                self.state.learning_rate = lr
-                step_fn = self._step_for_mode("train")
-                self.opt_state, metrics = step_fn(self.opt_state, batch, step_arr)
+                self._train_micro(host_batch, step_acc, epoch_acc,
+                                  time.perf_counter() - data_t0)
             else:
+                batch = shard_batch(host_batch, self.mesh)
+                batch = {k: v for k, v in batch.items()
+                         if isinstance(v, (np.ndarray, jax.Array))}
+                data_time = time.perf_counter() - data_t0
+
+                self.callbacks.on_step_begin(cfg, self.state, self.control)
+                model_t0 = time.perf_counter()
+                step_arr = jnp.asarray(self.state.global_step, jnp.int32)
                 step_fn = self._step_for_mode("eval")
                 outputs, metrics = step_fn(batch, step_arr)
                 if self.evaluator is not None:
@@ -472,28 +532,13 @@ class Trainer:
                         # (reference evaluator.py:102-137 logs sample 0),
                         # deterministic regardless of eval-set size
                         self._eval_image_batch = (host_batch, outputs)
-            model_time = time.perf_counter() - model_t0
+                model_time = time.perf_counter() - model_t0
 
-            metrics["stats/time/data"] = data_time
-            metrics["stats/time/model"] = model_time
-            metrics["stats/time"] = data_time + model_time
-            step_acc.add(metrics)
-            epoch_acc.add(metrics)
-
-            if is_train:
-                self._micro_step += 1
-                self.state.epoch_step += 1
-                if self._micro_step % cfg.optimization.grad_accum_steps == 0:
-                    # global_step counts OPTIMIZER steps (grad-accum-aware,
-                    # reference trainer.py:563); micro-batches in between
-                    # only fire on_substep_end
-                    self.state.global_step += 1
-                    self._maybe_profile()
-                    self.callbacks.on_step_end(cfg, self.state, self.control)
-                    self._maybe_log_save_evaluate(step_acc)
-                else:
-                    self.callbacks.on_substep_end(cfg, self.state, self.control)
-            else:
+                metrics["stats/time/data"] = data_time
+                metrics["stats/time/model"] = model_time
+                metrics["stats/time"] = data_time + model_time
+                step_acc.add(metrics)
+                epoch_acc.add(metrics)
                 self.state.epoch_step += 1
                 if cfg.eval_batches and self.state.epoch_step >= cfg.eval_batches:
                     break
@@ -507,6 +552,155 @@ class Trainer:
             self._maybe_log_save_evaluate(step_acc)
             self.state.epoch = float(int(self.state.epoch) + 1)
         return epoch_acc.means()
+
+    def _train_micro(self, host_batch, step_acc, epoch_acc, data_time):
+        """One host-dispatched training micro-step + all its accounting
+        (the per-step body of the reference hot loop, trainer.py:505-639)."""
+        cfg = self.config
+        batch = shard_batch(host_batch, self.mesh)
+        batch = {k: v for k, v in batch.items()
+                 if isinstance(v, (np.ndarray, jax.Array))}
+
+        self.callbacks.on_step_begin(cfg, self.state, self.control)
+        model_t0 = time.perf_counter()
+        step_arr = jnp.asarray(self.state.global_step, jnp.int32)
+        lr = self.schedule(self.state.global_step, int(self.state.epoch))
+        self.opt_state = self._apply_lr(lr)
+        self.state.learning_rate = lr
+        step_fn = self._step_for_mode("train")
+        self.opt_state, metrics = step_fn(self.opt_state, batch, step_arr)
+        model_time = time.perf_counter() - model_t0
+
+        metrics["stats/time/data"] = data_time
+        metrics["stats/time/model"] = model_time
+        metrics["stats/time"] = data_time + model_time
+        step_acc.add(metrics)
+        epoch_acc.add(metrics)
+
+        self._micro_step += 1
+        self.state.epoch_step += 1
+        if self._micro_step % cfg.optimization.grad_accum_steps == 0:
+            # global_step counts OPTIMIZER steps (grad-accum-aware,
+            # reference trainer.py:563); micro-batches in between
+            # only fire on_substep_end
+            self.state.global_step += 1
+            self._maybe_profile()
+            self.callbacks.on_step_end(cfg, self.state, self.control)
+            self._maybe_log_save_evaluate(step_acc)
+        else:
+            self.callbacks.on_substep_end(cfg, self.state, self.control)
+
+    # ------------------------------------------------------------------
+    # device-resident chunked training (steps_per_call > 1)
+    # ------------------------------------------------------------------
+
+    def _run_epoch_chunked(self, loader, epoch_acc, step_acc):
+        """Training epoch dispatching K micro-steps per host call.
+
+        Full chunks go through the scanned device-side step; the epoch tail
+        (or the approach to ``max_steps``) falls back to the per-step path so
+        step-count semantics stay exact. Callback/log cadence is per
+        optimizer step (replayed after each chunk); mid-chunk eval/save run
+        with post-chunk weights (documented on ``steps_per_call``)."""
+        cfg = self.config
+        K = cfg.steps_per_call
+        g = cfg.optimization.grad_accum_steps
+
+        it = iter(loader)
+        pending: list = []
+        exhausted = False
+        data_t0 = time.perf_counter()
+        while not (self.control.should_training_stop
+                   or self.control.should_epoch_stop):
+            # micro-steps remaining before max_steps — never overshoot
+            want = K
+            if self.state.max_steps:
+                rem = ((self.state.max_steps - self.state.global_step) * g
+                       - self._micro_step % g)
+                if rem <= 0:
+                    break
+                want = min(K, rem)
+            while len(pending) < want and not exhausted:
+                try:
+                    pending.append(next(it))
+                except StopIteration:
+                    exhausted = True
+            if not pending:
+                break
+            if len(pending) >= K and want == K:
+                chunk, pending = pending[:K], pending[K:]
+                self._dispatch_chunk(chunk, step_acc, epoch_acc,
+                                     time.perf_counter() - data_t0)
+            else:
+                # tail: per-step path (one extra compile, persistently cached)
+                chunk, pending = pending[:want], pending[want:]
+                data_time = (time.perf_counter() - data_t0) / len(chunk)
+                for hb in chunk:
+                    self._train_micro(hb, step_acc, epoch_acc, data_time)
+                    if (self.control.should_training_stop
+                            or self.control.should_epoch_stop):
+                        break
+            if exhausted and not pending:
+                break
+            data_t0 = time.perf_counter()
+
+        self.callbacks.on_epoch_end(cfg, self.state, self.control)
+        self._maybe_log_save_evaluate(step_acc)
+        self.state.epoch = float(int(self.state.epoch) + 1)
+        return epoch_acc.means()
+
+    def _dispatch_chunk(self, chunk, step_acc, epoch_acc, data_time):
+        """Stack K host batches, run the scanned chunk step, then replay the
+        per-step accounting (counters, callbacks, log/save/eval flags) on the
+        host with the chunk's per-step metrics (kept as lazy device slices —
+        materialized only when a log boundary calls ``means()``)."""
+        cfg = self.config
+        g = cfg.optimization.grad_accum_steps
+        K = len(chunk)
+        keys = [k for k, v in chunk[0].items()
+                if isinstance(v, (np.ndarray, jax.Array))]
+        stacked = {k: np.stack([np.asarray(b[k]) for b in chunk])
+                   for k in keys}
+        batches = shard_batch(stacked, self.mesh, stacked=True)
+
+        # the same LR/step sequence the per-step path would have produced
+        lrs, steps = [], []
+        sim_micro, sim_gs = self._micro_step, self.state.global_step
+        for _ in range(K):
+            lrs.append(float(self.schedule(sim_gs, int(self.state.epoch))))
+            steps.append(sim_gs)
+            sim_micro += 1
+            if sim_micro % g == 0:
+                sim_gs += 1
+
+        self.callbacks.on_step_begin(cfg, self.state, self.control)
+        self._step_for_mode("train")  # ensure train mode + fresh partials
+        model_t0 = time.perf_counter()
+        self.opt_state, metrics = self._cached_chunk(
+            self.opt_state, batches,
+            jnp.asarray(steps, jnp.int32), jnp.asarray(lrs, jnp.float32))
+        model_time = time.perf_counter() - model_t0
+
+        for i in range(K):
+            m_i = {k: v[i] for k, v in metrics.items()}
+            m_i["stats/time/data"] = data_time / K
+            m_i["stats/time/model"] = model_time / K
+            m_i["stats/time"] = (data_time + model_time) / K
+            step_acc.add(m_i)
+            epoch_acc.add(m_i)
+            self.state.learning_rate = lrs[i]
+            self._micro_step += 1
+            self.state.epoch_step += 1
+            if self._micro_step % g == 0:
+                self.state.global_step += 1
+                self._maybe_profile()
+                self.callbacks.on_step_end(cfg, self.state, self.control)
+                self._maybe_log_save_evaluate(step_acc)
+            else:
+                self.callbacks.on_substep_end(cfg, self.state, self.control)
+            if (self.control.should_training_stop
+                    or self.control.should_epoch_stop):
+                break
 
     def _maybe_profile(self):
         """jax.profiler trace for the configured step window
