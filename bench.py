@@ -305,14 +305,22 @@ def _e2e_lane(model) -> dict:
     try:
         url = f"http://127.0.0.1:{port}/synthesize"
 
+        lat_ms: list = []
+        lat_lock = threading.Lock()
+
         def post():
             body = json.dumps({"text": text, "format": "wav"}).encode()
             req = urllib.request.Request(
                 url, data=body, headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
             with urllib.request.urlopen(req, timeout=600) as resp:
                 resp.read()
+            dt = (time.perf_counter() - t0) * 1000
+            with lat_lock:
+                lat_ms.append(dt)
 
         post()  # warm the daemon path end-to-end
+        lat_ms.clear()
         n_clients, per_client = 8, 8
         t0 = time.perf_counter()
         threads = [threading.Thread(target=lambda: [post() for _ in
@@ -324,17 +332,24 @@ def _e2e_lane(model) -> dict:
             t.join()
         elapsed = time.perf_counter() - t0
         req_s = n_clients * per_client / elapsed
+        # per-request latency UNDER the 8-client load (the serving-SLO
+        # number: queueing + coalescing wait included, not bare compute)
+        p50 = float(np.percentile(lat_ms, 50))
+        p95 = float(np.percentile(lat_ms, 95))
     finally:
         server.stop()
 
     print(f"e2e: b1 {b1_e2e*1000:.1f} ms wall ({audio_s:.2f}s audio), "
-          f"daemon {req_s:.1f} req/s (coalesced "
+          f"daemon {req_s:.1f} req/s p50 {p50:.0f} ms p95 {p95:.0f} ms "
+          f"(coalesced "
           f"{server.stats['requests']}/{server.stats['batches']} per call)",
           file=sys.stderr)
     return {
         "b1_e2e_ms": round(b1_e2e * 1000, 1),
         "b1_e2e_xrt": round(audio_s / b1_e2e, 1),
         "daemon_req_s": round(req_s, 1),
+        "daemon_p50_ms": round(p50, 1),
+        "daemon_p95_ms": round(p95, 1),
     }
 
 

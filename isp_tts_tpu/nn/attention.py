@@ -28,7 +28,6 @@ from .layers import FastDropout
 from .policy import get_compute_dtype
 
 logger = logging.getLogger("isp_tts_tpu")
-_warned_flash_dropout = False
 
 
 @dataclass
@@ -171,21 +170,6 @@ class Attention(nnx.Module):
                     and attention_mask is None and context is None)
                 else "off"
             )
-        if use_flash == "on" and drop_active and not self.one_kv_head:
-            # only the folded-MQA kernels implement in-kernel probability
-            # dropout; the per-head-grid family falls back to the einsum path
-            # for dropout-active training steps (numerics equivalent, but
-            # materialized (B,H,N,M) memory/time — not the kernel the
-            # explicit 'on' asked for, so say so once)
-            global _warned_flash_dropout
-            if not _warned_flash_dropout:
-                _warned_flash_dropout = True
-                logger.warning(
-                    "flash='on' with attention dropout on a multi-KV-head "
-                    "layer: training steps fall back to the materialized "
-                    "einsum path (in-kernel probability dropout exists only "
-                    "for one_kv_head); eval still uses the fused kernel")
-            use_flash = "off"
         if use_flash == "on" and attention_mask is not None:
             # the fused kernels support key-length + query-length + causal
             # masking, which covers every mask this model assembles itself; an
@@ -225,10 +209,15 @@ class Attention(nnx.Module):
             else:
                 from ..ops.flash_attention import flash_attention
 
+                seed = (jax.random.randint(self.dropout.rngs.dropout(), (),
+                                           0, 2**31 - 1, jnp.int32)
+                        if drop_active else None)
                 out = flash_attention(
                     q_nhd.transpose(0, 2, 1, 3), k, v, slopes2, key_lens,
                     self.scale, offset=m - n, q_lens=q_lens,
-                    causal=self.causal).transpose(0, 2, 1, 3)
+                    causal=self.causal,
+                    dropout_rate=(drop_rate if drop_active else 0.0),
+                    dropout_seed=seed).transpose(0, 2, 1, 3)
         else:
             bias = None
             if self.rel_pos is not None:

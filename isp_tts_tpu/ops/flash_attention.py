@@ -62,12 +62,29 @@ def _bias_block(slopes_lo, slopes_hi, rows, cols, offset):
     return jnp.where(lower, slopes_lo * dist, slopes_hi * dist), dist, lower
 
 
-def _fwd_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
+def _head_keep(seed_ref, b, h, heads, qi, ki, block_q, block_k,
+               n_true, m_true, thresh):
+    """(BQ, BK) keep mask for a per-head-grid block from global
+    (batch, head, row, col) indices — the same blocking-invariant hash as
+    the folded-MQA family (see :func:`_mqa_keep`): indexed by the UNPADDED
+    dims so forward/backward may tile the logits differently and still
+    regenerate bit-identical masks."""
+    rows = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, 1), 0)
+    cols = ki * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (1, block_k), 1)
+    idx = ((b * heads + h) * n_true + rows) * m_true + cols
+    return _keep_hash(idx, seed_ref[0], thresh)
+
+
+def _fwd_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
+                q_ref, k_ref, v_ref,
                 o_ref, lse_ref, m_ref, l_ref, acc_ref,
-                *, scale, offset, block_q, block_k, causal):
+                *, scale, offset, block_q, block_k, causal, drop=None):
     b, h = pl.program_id(0), pl.program_id(1)
     qi, ki = pl.program_id(2), pl.program_id(3)
     n_k = pl.num_programs(3)
+    heads = pl.num_programs(1)
 
     @pl.when(ki == 0)
     def _():
@@ -109,6 +126,14 @@ def _fwd_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
         # so l stays 0 and the epilogue can emit o = 0, lse = +inf
         p = jnp.where(valid, p, 0.0)
         l_ref[...] = l_ref[...] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if drop is not None:
+            # probability dropout (reference attend.py drops post-softmax
+            # weights): the normalizer l uses the UNdropped p; only the PV
+            # accumulation sees the dropped/rescaled probabilities
+            thresh, inv_keep, n_true, m_true = drop
+            keep = _head_keep(seed_ref, b, h, heads, qi, ki,
+                              block_q, block_k, n_true, m_true, thresh)
+            p = jnp.where(keep, p * inv_keep, 0.0)
         acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         m_ref[...] = m_new
@@ -127,13 +152,15 @@ def _fwd_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
         lse_ref[0, 0] = lse[:, 0][None, :]
 
 
-def _dq_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
+def _dq_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
+               q_ref, k_ref, v_ref,
                do_ref, lse_ref, delta_ref, dq_ref, dslo_ref, dshi_ref,
                dq_acc_ref, dslo_acc_ref, dshi_acc_ref,
-               *, scale, offset, block_q, block_k, causal):
+               *, scale, offset, block_q, block_k, causal, drop=None):
     b, h = pl.program_id(0), pl.program_id(1)
     qi, ki = pl.program_id(2), pl.program_id(3)
     n_k = pl.num_programs(3)
+    heads = pl.num_programs(1)
 
     @pl.when(ki == 0)
     def _():
@@ -172,6 +199,13 @@ def _dq_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if drop is not None:
+            # probability dropout: d(probs) passes only through kept weights
+            # (delta = rowsum(do*o) already equals rowsum(dp_eff * p))
+            thresh, inv_keep, n_true, m_true = drop
+            keep = _head_keep(seed_ref, b, h, heads, qi, ki,
+                              block_q, block_k, n_true, m_true, thresh)
+            dp = jnp.where(keep, dp * inv_keep, 0.0)
         ds = p * (dp - delta[0][:, None])
         ds = jnp.where(valid, ds, 0.0)
 
@@ -192,13 +226,15 @@ def _dq_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
         dshi_ref[0, 0] = jnp.where(first, dshi_acc_ref[0, 0], 0.0)
 
 
-def _dkv_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
+def _dkv_kernel(key_lens_ref, q_lens_ref, seed_ref, slopes_ref,
+                q_ref, k_ref, v_ref,
                 do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
                 dk_acc_ref, dv_acc_ref,
-                *, scale, offset, block_q, block_k, causal):
+                *, scale, offset, block_q, block_k, causal, drop=None):
     b, h = pl.program_id(0), pl.program_id(1)
     ki, qi = pl.program_id(2), pl.program_id(3)
     n_q = pl.num_programs(3)
+    heads = pl.num_programs(1)
 
     @pl.when(qi == 0)
     def _():
@@ -234,12 +270,23 @@ def _dkv_kernel(key_lens_ref, q_lens_ref, slopes_ref, q_ref, k_ref, v_ref,
         s = jnp.where(valid, s, NEG_INF)
         p = jnp.exp(s - lse[0][:, None])  # (BQ, BK)
 
+        if drop is None:
+            p_v = p
+            mask_f = None
+        else:
+            thresh, inv_keep, n_true, m_true = drop
+            keep = _head_keep(seed_ref, b, h, heads, qi, ki,
+                              block_q, block_k, n_true, m_true, thresh)
+            mask_f = jnp.where(keep, jnp.float32(inv_keep), 0.0)
+            p_v = p * mask_f
         dv_acc_ref[...] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())),
+            p_v, do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (BK, D)
 
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)  # (BQ, BK)
+        if drop is not None:
+            dp = dp * mask_f
         ds = p * (dp - delta[0][:, None])
         ds = jnp.where(valid, ds, 0.0)
         dk_acc_ref[...] += jax.lax.dot_general(
@@ -266,7 +313,8 @@ INTERPRET = False
 
 def flash_attention(q, k, v, slopes, key_lens, scale, offset=0,
                     block_q=DEF_BLOCK_Q, block_k=DEF_BLOCK_K,
-                    q_lens=None, causal=False):
+                    q_lens=None, causal=False,
+                    dropout_rate=0.0, dropout_seed=None):
     """Streaming fused attention with ALiBi bias.
 
     Args:
@@ -281,21 +329,33 @@ def flash_attention(q, k, v, slopes, key_lens, scale, offset=0,
       causal: query n attends keys <= n + offset (static; reference
         `attend.py:88-122` causal semantics); blocks above the diagonal are
         skipped entirely.
+      dropout_rate: static; > 0 applies dropout to the post-softmax
+        PROBABILITIES (reference attend.py semantics), regenerated from
+        ``dropout_seed`` in the backward — nothing of shape (B, H, N, M) is
+        ever stored. Keep probability is 8-bit quantized (dropout_thresh).
+      dropout_seed: int32 scalar array; required when dropout_rate > 0.
 
     Returns:
       (B, H, N, D) in q's dtype.
     """
     if q_lens is None:
         q_lens = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
-    return _flash_core(q, k, v, slopes, key_lens, q_lens, scale, offset,
-                       block_q, block_k, causal)
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
+    else:
+        dropout_seed = jnp.reshape(dropout_seed, (1,)).astype(jnp.int32)
+    return _flash_core(q, k, v, slopes, key_lens, q_lens, dropout_seed,
+                       scale, offset, block_q, block_k, causal,
+                       float(dropout_rate))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def _flash_core(q, k, v, slopes, key_lens, q_lens, scale, offset,
-                block_q, block_k, causal):
-    out, _ = _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
-                        block_q, block_k, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
+def _flash_core(q, k, v, slopes, key_lens, q_lens, seed, scale, offset,
+                block_q, block_k, causal, dropout_rate):
+    out, _ = _flash_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale,
+                        offset, block_q, block_k, causal, dropout_rate)
     return out
 
 
@@ -310,8 +370,8 @@ def _kv_spec(Hkv, block_k, D, kv_axis):
     return pl.BlockSpec((1, 1, block_k, D), index, memory_space=pltpu.VMEM)
 
 
-def _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
-               block_q, block_k, causal):
+def _flash_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale, offset,
+               block_q, block_k, causal, dropout_rate=0.0):
     B, H, N, D = q.shape
     Hkv, M = k.shape[1], k.shape[2]
     block_q = _pick_block(N, block_q)
@@ -323,7 +383,7 @@ def _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
     n_q, n_k = Np // block_q, Mp // block_k
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, H, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0),
@@ -345,7 +405,8 @@ def _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
     )
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, offset=offset,
-                          block_q=block_q, block_k=block_k, causal=causal),
+                          block_q=block_q, block_k=block_k, causal=causal,
+                          drop=_drop_params(dropout_rate, N, M)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
@@ -353,23 +414,24 @@ def _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
         ],
         interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
-      slopes.astype(jnp.float32), qp, kp, vp)
+      seed.astype(jnp.int32), slopes.astype(jnp.float32), qp, kp, vp)
     out = out[:, :, :n_orig]
     lse = lse[:, :, 0, :n_orig]
-    return out, (q, k, v, slopes, key_lens, q_lens, out, lse)
+    return out, (q, k, v, slopes, key_lens, q_lens, seed, out, lse)
 
 
-def _flash_fwd_vjp(q, k, v, slopes, key_lens, q_lens, scale, offset,
-                   block_q, block_k, causal):
-    out, res = _flash_fwd(q, k, v, slopes, key_lens, q_lens, scale, offset,
-                          block_q, block_k, causal)
+def _flash_fwd_vjp(q, k, v, slopes, key_lens, q_lens, seed, scale, offset,
+                   block_q, block_k, causal, dropout_rate):
+    out, res = _flash_fwd(q, k, v, slopes, key_lens, q_lens, seed, scale,
+                          offset, block_q, block_k, causal, dropout_rate)
     return out, res
 
 
-def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
-    q, k, v, slopes, key_lens, q_lens, out, lse = res
+def _flash_bwd(scale, offset, block_q, block_k, causal, dropout_rate, res, g):
+    q, k, v, slopes, key_lens, q_lens, seed, out, lse = res
     B, H, N, D = q.shape
     Hkv, M = k.shape[1], k.shape[2]
+    drop = _drop_params(dropout_rate, N, M)
     block_q = _pick_block(N, block_q)
     block_k = _pick_block(M, block_k)
 
@@ -389,7 +451,7 @@ def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
 
     # ---- dq + dslope partials: stream key blocks, accumulate in scratch ----
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, H, n_q, n_k),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, i, 0),
@@ -419,7 +481,8 @@ def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
     )
     dq, dslo, dshi = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, offset=offset,
-                          block_q=block_q, block_k=block_k, causal=causal),
+                          block_q=block_q, block_k=block_k, causal=causal,
+                          drop=drop),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
@@ -428,14 +491,15 @@ def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
         ],
         interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
-      slopes.astype(jnp.float32), qp, kp, vp, gp, lse_p, delta_p)
+      seed.astype(jnp.int32), slopes.astype(jnp.float32),
+      qp, kp, vp, gp, lse_p, delta_p)
     dq = dq[:, :, :n_orig]
     dslopes = jnp.stack([jnp.sum(dslo, axis=(0, 2, 3)),
                          jnp.sum(dshi, axis=(0, 2, 3))])  # (2, H)
 
     # ---- dk/dv: stream query blocks, accumulate in scratch ----
     grid_spec2 = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, H, n_k, n_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j, *_: (b, h, j, 0),
@@ -462,7 +526,8 @@ def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
     )
     dk_h, dv_h = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, offset=offset,
-                          block_q=block_q, block_k=block_k, causal=causal),
+                          block_q=block_q, block_k=block_k, causal=causal,
+                          drop=drop),
         grid_spec=grid_spec2,
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Mp, D), jnp.float32),
@@ -470,7 +535,8 @@ def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
         ],
         interpret=INTERPRET,
     )(key_lens.astype(jnp.int32), q_lens.astype(jnp.int32),
-      slopes.astype(jnp.float32), qp, kp, vp, gp, lse_p, delta_p)
+      seed.astype(jnp.int32), slopes.astype(jnp.float32),
+      qp, kp, vp, gp, lse_p, delta_p)
     dk_h = dk_h[:, :, :M]
     dv_h = dv_h[:, :, :M]
     if Hkv == 1:  # MQA: sum head gradients
@@ -480,7 +546,7 @@ def _flash_bwd(scale, offset, block_q, block_k, causal, res, g):
         dk = dk_h.astype(k.dtype)
         dv = dv_h.astype(v.dtype)
 
-    return dq, dk, dv, dslopes.astype(slopes.dtype), None, None
+    return dq, dk, dv, dslopes.astype(slopes.dtype), None, None, None
 
 
 _flash_core.defvjp(_flash_fwd_vjp, _flash_bwd)
