@@ -136,7 +136,61 @@ class Aligner(nnx.Module):
           enc_text: (B, T, text_dim) encoder text states (keys).
         Returns:
           (attn_soft, attn_logits), both (B, M, T).
-        """
+
+        On a live SP/PP mesh the computation dispatches to
+        :meth:`_attention_manual`: the aligner is a pure per-sample map, so
+        the batch is split across EVERY live mesh axis and each device runs
+        the math locally. This both uses all chips (the auto-sharded version
+        replicates the aligner's work across seq/stage replicas) and is
+        correct by construction — GSPMD's auto partitioner miscompiles the
+        conv-kernel and norm-bias GRADIENTS when the convs' spatial dim
+        arrives sharded over "seq" while an idle size>1 "stage" axis exists
+        (forward values were never affected; pinned by dryrun_multichip's
+        composed dp x sp x pp phase and a minimal conv_general_dilated
+        repro; input sharding constraints fix the conv but not the norm's
+        output-cotangent reduction, so manual mode it is)."""
+        from ...parallel.context import get_parallel_context
+
+        ctx = get_parallel_context()
+        mesh = ctx.mesh
+        if mesh is not None and (ctx.seq_axis or ctx.stage_axis):
+            live = [ax for ax in ("data", "seq", "stage")
+                    if mesh.shape.get(ax, 1) >= 1]
+            n_shards = 1
+            for ax in live:
+                n_shards *= mesh.shape[ax]
+            drop_active = any(
+                blk.dropout.rate > 0 and not blk.dropout.deterministic
+                for blk in list(self.key_proj) + list(self.query_proj))
+            if (mel.shape[0] % n_shards == 0
+                    and mesh.shape.get("model", 1) == 1 and not drop_active):
+                return self._attention_manual(mel, enc_text, mel_len,
+                                              text_len, mesh, tuple(live))
+        return self._attention_local(mel, enc_text, mel_len, text_len)
+
+    def _attention_manual(self, mel, enc_text, mel_len, text_len, mesh, axes):
+        """Fully-manual shard_map over ``axes``: batch split across the
+        flattened axes, params replicated (their cotangents are psummed over
+        the manual axes by shard_map's transpose — each shard contributes
+        its disjoint batch slice, so the sum is the exact global gradient)."""
+        from flax import nnx as _nnx
+        from jax.sharding import PartitionSpec as P
+
+        graphdef, state = _nnx.split(self)
+        batch_spec = P(axes)
+
+        def local(state, mel, enc_text, mel_len, text_len):
+            m = _nnx.merge(graphdef, state)
+            return m._attention_local(mel, enc_text, mel_len, text_len)
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), batch_spec, batch_spec, batch_spec, batch_spec),
+            out_specs=(batch_spec, batch_spec),
+        )(state, mel, enc_text, mel_len, text_len)
+
+    def _attention_local(self, mel: jnp.ndarray, enc_text: jnp.ndarray,
+                         mel_len: jnp.ndarray, text_len: jnp.ndarray):
         B, M, _ = mel.shape
         T = enc_text.shape[1]
         key_mask = get_mask_from_lengths(text_len, T)
