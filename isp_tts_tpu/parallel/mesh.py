@@ -180,13 +180,72 @@ def process_local_mesh_info() -> tuple[int, int]:
     return jax.process_count(), jax.process_index()
 
 
-def barrier(name: str) -> None:
+#: cross-host barrier deadline; long enough for a cold jit compile on a
+#: slow host (Gloo's own collective deadline is a hardcoded ~30 s and
+#: cannot be raised — this barrier deliberately does NOT ride Gloo)
+BARRIER_TIMEOUT_MS = 600_000
+
+
+def barrier(name: str, timeout_ms: int | None = None) -> None:
     """Cross-host barrier (reference `accelerator.wait_for_everyone`,
-    trainer.py:116,441,637). No-op in single-process runs."""
-    if jax.process_count() > 1:
+    trainer.py:116,441,637). No-op in single-process runs.
+
+    Uses the distributed COORDINATION SERVICE (`wait_at_barrier`) rather
+    than `multihost_utils.sync_global_devices`: the latter is itself a Gloo
+    allgather on the CPU backend, so it inherits Gloo's ~30 s rendezvous
+    deadline — exactly the deadline a compile-skewed rank blows through on
+    a slow host. The coordination-service barrier has a configurable
+    deadline and raises an ACTIONABLE error on expiry instead of an opaque
+    collective DEADLINE_EXCEEDED."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        # barrier ids must be unique per rendezvous; the trainer calls each
+        # named barrier in the same order on every rank, so a per-name
+        # counter keeps ids aligned across processes
+        n = _barrier_seq[name] = _barrier_seq.get(name, 0) + 1
+        timeout = BARRIER_TIMEOUT_MS if timeout_ms is None else timeout_ms
+        client.wait_at_barrier(f"isp_tts_tpu/{name}/{n}", timeout)
+    else:  # initialized without the coordination service: best effort
         from jax.experimental import multihost_utils
 
         multihost_utils.sync_global_devices(name)
+
+
+_barrier_seq: dict[str, int] = {}
+
+
+_aligned_sigs: set = set()
+
+
+def _align_for_collective(name: str, sig=None) -> None:
+    """Align ranks before entering a Gloo collective on the CPU backend.
+
+    Gloo's rendezvous deadline (~30 s, not configurable) fires when one
+    rank reaches a cross-process collective while another is still jit-
+    compiling the same program — a real failure mode on slow hosts (one
+    rank has the program in the persistent compile cache, the other pays a
+    cold compile). A coordination-service barrier immediately before the
+    collective makes both ranks start compiling together, so they enter
+    the Gloo rendezvous within compile-time-variance of each other rather
+    than a whole compile apart. No-op on TPU/GPU backends (their
+    collectives don't use Gloo).
+
+    Each (name, sig) aligns ONCE per process: after the first call the
+    collective's program is compiled (and persistently cached), so skew is
+    bounded by execution time, not a whole compile — and a per-leaf
+    checkpoint gather must not pay hundreds of barrier RPCs. All ranks see
+    the same (name, sig) sequence (SPMD), so the gating stays symmetric."""
+    if jax.process_count() <= 1 or jax.default_backend() != "cpu":
+        return
+    key = (name, sig)
+    if key in _aligned_sigs:
+        return
+    _aligned_sigs.add(key)
+    barrier(f"align/{name}")
 
 
 def gather_to_host(tree):
@@ -201,6 +260,12 @@ def gather_to_host(tree):
         if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
             from jax.experimental import multihost_utils
 
+            # enter the Gloo allgather together (see _align_for_collective —
+            # an unaligned cold compile on one rank blows Gloo's fixed
+            # rendezvous deadline; observed at checkpoint save). Gated per
+            # (shape, dtype): one barrier per distinct allgather program.
+            _align_for_collective("gather_to_host",
+                                  (tuple(leaf.shape), str(leaf.dtype)))
             leaf = multihost_utils.process_allgather(leaf, tiled=True)
         return np.asarray(leaf)
 
@@ -209,12 +274,53 @@ def gather_to_host(tree):
 
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
-                     process_id: int | None = None) -> None:
+                     process_id: int | None = None,
+                     initialization_timeout: int = 300,
+                     heartbeat_timeout_seconds: int = 100) -> None:
     """Multi-host bring-up: `jax.distributed.initialize` (TPU pods auto-detect
     all arguments from the environment; GCE metadata supplies the topology).
-    Call once before any jax op. Single-host runs skip this entirely."""
+    Call once before any jax op. Single-host runs skip this entirely.
+
+    ``initialization_timeout`` / ``heartbeat_timeout_seconds`` are
+    pass-throughs to the coordination service — raise them for slow hosts
+    where jit-compile skew between ranks can exceed the defaults."""
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
         process_id=process_id,
+        initialization_timeout=initialization_timeout,
+        heartbeat_timeout_seconds=heartbeat_timeout_seconds,
     )
+
+
+_gloo_clique_key: tuple | None = None
+
+
+def check_gloo_clique(mesh: Mesh) -> None:
+    """Fail FAST instead of deadlocking on a second Gloo clique topology.
+
+    XLA:CPU's Gloo collectives deterministically deadlock context init when
+    one process lifetime creates a SECOND distinct cross-process
+    communicator-clique structure (e.g. a dp trainer's 8-device clique
+    followed by an sp trainer's pairwise seq cliques — reproduced in the
+    multihost integration test; the hang sits in Gloo's connectFull, before
+    any deadline fires, so the user sees an infinite stall). The Trainer
+    registers its strategy mesh here: a second Trainer with a DIFFERENT
+    cross-process topology on the Gloo backend raises an actionable error
+    instead. TPU/GPU backends (no Gloo) are exempt, as are single-process
+    runs."""
+    global _gloo_clique_key
+    if jax.process_count() <= 1 or jax.default_backend() != "cpu":
+        return
+    key = tuple(sorted(mesh.shape.items()))
+    if _gloo_clique_key is None:
+        _gloo_clique_key = key
+    elif key != _gloo_clique_key:
+        raise RuntimeError(
+            "XLA:CPU's Gloo collectives cannot initialize a second distinct "
+            f"cross-process communicator clique in one process: this process "
+            f"already trained with mesh topology {dict(_gloo_clique_key)} "
+            f"and now requests {dict(mesh.shape)} — Gloo context init would "
+            "deadlock (hang, no error). Run each parallelism strategy in a "
+            "fresh process group. TPU/GPU multi-host backends do not use "
+            "Gloo and are unaffected.")

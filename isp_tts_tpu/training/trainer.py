@@ -131,6 +131,11 @@ class Trainer:
         self.num_processes = jax.process_count()
         self.process_index = jax.process_index()
         self.is_main_process = self.process_index == 0
+        # Gloo (CPU multi-host) deadlocks on a second clique topology in one
+        # process: fail fast with an actionable error instead of hanging
+        from ..parallel.mesh import check_gloo_clique
+
+        check_gloo_clique(self.mesh)
         if (self.num_processes > 1
                 and self.mesh.shape["data"] % self.num_processes != 0):
             # each process feeds its local shard of every batch through the
@@ -503,6 +508,14 @@ class Trainer:
         self.state.epoch_step = 0
         if not hasattr(self, "_micro_step"):
             self._micro_step = 0
+
+        # Gloo-backend ranks must start the first (compiling) step together,
+        # or compile skew blows Gloo's fixed rendezvous deadline — no-op off
+        # the CPU backend and in single-process runs; once per train/eval
+        # program (later epochs reuse the compiled step)
+        from ..parallel.mesh import _align_for_collective
+
+        _align_for_collective("epoch", "train" if is_train else "eval")
 
         if (is_train and self.config.steps_per_call > 1
                 and self._train_chunk_fn is not None):

@@ -200,12 +200,14 @@ def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     root, outdir = sys.argv[4], sys.argv[5]
     # "phase4": run ONLY the SP/PP strategy phase, in fresh processes.
-    # XLA:CPU gloo deadlocks when one process lifetime creates a SECOND
-    # distinct cross-process communicator-clique structure (the dp
-    # trainer's 8-device clique followed by sp's pairwise cliques hangs
-    # context init on both ranks — reproduced deterministically; fresh
-    # processes run the same programs fine). Real TPU pods don't use gloo,
-    # so this split is a test-harness accommodation, not product design.
+    # XLA:CPU Gloo deadlocks when one process lifetime creates a SECOND
+    # distinct cross-process communicator-clique structure; the PRODUCT now
+    # enforces this as a fail-fast error (`parallel/mesh.py:
+    # check_gloo_clique`, registered by every Trainer) — a user mixing
+    # strategies in one Gloo process gets an actionable RuntimeError
+    # telling them to use fresh process groups, not a silent hang. This
+    # split runs each strategy in the fresh group that error prescribes.
+    # Real TPU pods don't use Gloo and are unaffected.
     mode = sys.argv[6] if len(sys.argv) > 6 else "full"
 
     n_local = 8 // nproc
