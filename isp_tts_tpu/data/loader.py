@@ -52,7 +52,17 @@ class DataLoader:
                 # the same local batch size (globally-consistent SPMD shapes)
                 pad_to = -(-len(idxs) // self.num_shards) * self.num_shards
                 idxs = idxs + [idxs[i % len(idxs)] for i in range(pad_to - len(idxs))]
-            local = idxs[self.shard_index::self.num_shards]
+            # CONTIGUOUS per-process slices, not strided: process p's local
+            # rows land at global batch positions [p*local, (p+1)*local) in
+            # make_array_from_process_local_data (process 0's devices lead
+            # the mesh's data axis), so the multi-process global batch has
+            # the SAME sample order as the single-process batch. Strided
+            # sharding permuted the global order, which silently decoupled
+            # per-POSITION randomness (flow-matching time/noise draws,
+            # dropout masks) from the equivalent 1-process run — observed
+            # as a 0.7% first-step loss delta in the 2-process test.
+            per = len(idxs) // self.num_shards
+            local = idxs[self.shard_index * per:(self.shard_index + 1) * per]
             if hasattr(self.dataset, "get_batch"):
                 # batched front-end: one fused featurization call per batch
                 samples = self.dataset.get_batch(local)

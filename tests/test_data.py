@@ -156,6 +156,13 @@ def test_dataloader_sharding(toy_dataset):
     assert b0["mel"].shape[0] == 2 and b1["mel"].shape[0] == 2
     assert set(b0["filename"]).isdisjoint(b1["filename"])
 
+    # shards are CONTIGUOUS slices: concatenating them in process order
+    # reproduces the 1-process batch order exactly (so per-position RNG —
+    # flow-matching noise, dropout — matches across process counts)
+    dl_all = DataLoader(ds, coll, batch_size=4)
+    b_all = next(iter(dl_all))
+    assert list(b0["filename"]) + list(b1["filename"]) == list(b_all["filename"])
+
 
 def test_meta_split():
     from isp_tts_tpu.data.metadata import MetaRecord, TTSMeta

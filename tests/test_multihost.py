@@ -60,7 +60,11 @@ def _free_port() -> int:
 
 def _spawn(pid, nproc, port, root, outdir, mode="full"):
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    # worker appends its own device count; raise Gloo's context-init /
+    # GetKeyValue deadline from the hardcoded-feeling 30 s default — on this
+    # 1-core host two ranks' concurrent compiles can easily skew context
+    # creation past 30 s (XLA exposes this as a debug flag)
+    env["XLA_FLAGS"] = "--xla_cpu_collective_timeout_seconds=300"
     env["JAX_PLATFORMS"] = "cpu"
     repo = str(Path(__file__).parent.parent)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")

@@ -185,3 +185,61 @@ def test_smoke_neural_vocoder_infer():
     assert wav.shape == (2, 64 * voc.features_config.hop_length)
     assert np.isfinite(wav).all()
     assert np.abs(wav).max() > 0
+
+
+@requires_tpu
+def test_smoke_flash_per_head_dropout_fwd_bwd():
+    """Round 5: the per-head-grid kernels' in-kernel probability dropout on
+    the real chip — output + all grads vs an oracle that drops the SAME
+    hash-mask positions (the mask derives from global element indices, so
+    the kernel and oracle agree bit-for-bit on what was dropped)."""
+    import isp_tts_tpu.ops.flash_attention as fa
+    from isp_tts_tpu.nn.embeddings import alibi_slopes
+    from isp_tts_tpu.ops.attention import scaled_dot_product_attention
+
+    rng = np.random.RandomState(11)
+    B, H, N, D, M = 2, 4, 128, 64, 128
+    rate = 0.3
+    seed = jnp.asarray(424242, jnp.int32)
+    q = jnp.asarray(rng.randn(B, H, N, D).astype(np.float32)) * 0.3
+    k = jnp.asarray(rng.randn(B, H, M, D).astype(np.float32)) * 0.3
+    v = jnp.asarray(rng.randn(B, H, M, D).astype(np.float32)) * 0.3
+    sl = jnp.asarray(alibi_slopes(H), jnp.float32)
+    slopes2 = jnp.stack([sl, sl * 0.5])
+    key_lens = jnp.asarray([M, M - 21], jnp.int32)
+    scale = D ** -0.5
+
+    thresh = fa.dropout_thresh(rate)
+    bh = (jnp.arange(B)[:, None, None, None] * H
+          + jnp.arange(H)[None, :, None, None])
+    idx = (bh * N + jnp.arange(N)[None, None, :, None]) * M \
+        + jnp.arange(M)[None, None, None, :]
+    keep = fa._keep_hash(idx, seed, thresh)  # (B, H, N, M)
+
+    def run(q, k, v, s):
+        return fa.flash_attention(q, k, v, s, key_lens, scale,
+                                  dropout_rate=rate, dropout_seed=seed)
+
+    def ref(q, k, v, s):
+        i = jnp.arange(N)[:, None]
+        j = jnp.arange(M)[None, :]
+        dist = -jnp.abs(j - i).astype(jnp.float32)
+        lower = j <= i
+        bias = jnp.where(lower, s[0][:, None, None] * dist,
+                         s[1][:, None, None] * dist)
+        mask = (j < key_lens[:, None])[:, None, None, :]
+        probs = scaled_dot_product_attention(
+            q, k, jnp.eye(M)[None, None].repeat(B, 0).repeat(H, 1),
+            scale=scale, bias=bias[None], mask=mask)
+        pd = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        return jnp.einsum("bhnm,bhmd->bhnd", pd, v)
+
+    np.testing.assert_allclose(np.asarray(run(q, k, v, slopes2)),
+                               np.asarray(ref(q, k, v, slopes2)), atol=5e-3)
+    gf = jax.grad(lambda *a: jnp.sum(run(*a) ** 2),
+                  argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) ** 2),
+                  argnums=(0, 1, 2, 3))(q, k, v, slopes2)
+    for name, a, b in zip(("dq", "dk", "dv", "dslopes"), gf, gr):
+        rel = float(jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9))
+        assert rel < 2e-2, f"{name} rel err {rel}"
