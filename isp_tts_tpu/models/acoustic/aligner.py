@@ -155,7 +155,7 @@ class Aligner(nnx.Module):
         mesh = ctx.mesh
         if mesh is not None and (ctx.seq_axis or ctx.stage_axis):
             live = [ax for ax in ("data", "seq", "stage")
-                    if mesh.shape.get(ax, 1) >= 1]
+                    if ax in mesh.shape]
             n_shards = 1
             for ax in live:
                 n_shards *= mesh.shape[ax]
